@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark: PAF -> unitig-GFA wall-clock vs the reference miniasm binary.
+
+Generates a synthetic E. coli-like dataset (4.6 Mb genome at the requested
+coverage — the environment has no network access to the public PacBio
+demo data, so this mirrors its shape), runs the reference C binary and our
+pipeline on the same PAF, and prints ONE JSON line:
+
+  {"metric": "paf_to_gfa_wall", "value": <our seconds>, "unit": "s",
+   "vs_baseline": <ref_seconds / our_seconds>}
+
+vs_baseline > 1 means faster than the reference on this host's CPUs.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_DIR = "/tmp/miniasm_tpu_bench"
+REF_SRC = "/root/reference"
+REF_BUILD = "/tmp/miniasm_ref_build"
+
+
+def build_reference():
+    exe = os.path.join(REF_BUILD, "miniasm")
+    if os.path.exists(exe):
+        return exe
+    os.makedirs(REF_BUILD, exist_ok=True)
+    for f in os.listdir(REF_SRC):
+        if f.endswith((".c", ".h")) or f == "Makefile":
+            shutil.copy(os.path.join(REF_SRC, f), REF_BUILD)
+    r = subprocess.run(["make", "-j4"], cwd=REF_BUILD, capture_output=True)
+    if r.returncode != 0:
+        return None
+    return exe
+
+
+def prepare_data(genome_len, coverage, seed=11):
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    paf = os.path.join(BENCH_DIR, "bench_%d_%d.paf" % (genome_len, int(coverage)))
+    if not os.path.exists(paf):
+        from miniasm_tpu.eval.simulate import simulate, write_paf
+
+        sim = simulate(genome_len=genome_len, coverage=coverage,
+                       mean_read=9000, sd_read=2500, seed=seed)
+        write_paf(sim, paf)
+    return paf
+
+
+def run_ours(paf):
+    from miniasm_tpu.config import Opt
+    from miniasm_tpu.pipeline import run
+
+    t0 = time.time()
+    with open(os.devnull, "w") as devnull:
+        run(paf, Opt(), outfmt="ug", out=devnull)
+    return time.time() - t0
+
+
+def run_ref(exe, paf):
+    t0 = time.time()
+    with open(os.devnull, "wb") as devnull:
+        subprocess.run([exe, paf], stdout=devnull,
+                       stderr=subprocess.DEVNULL, check=True)
+    return time.time() - t0
+
+
+def main():
+    genome_len = int(os.environ.get("BENCH_GENOME", 4_600_000))
+    coverage = float(os.environ.get("BENCH_COV", 40))
+    paf = prepare_data(genome_len, coverage)
+
+    # warm-up ours once (compile caches), then measure
+    run_ours(paf)
+    ours = min(run_ours(paf) for _ in range(2))
+
+    exe = build_reference()
+    if exe:
+        ref = min(run_ref(exe, paf) for _ in range(3))
+        vs = ref / ours if ours > 0 else 0.0
+    else:
+        vs = 0.0
+    print(json.dumps({"metric": "paf_to_gfa_wall", "value": round(ours, 3),
+                      "unit": "s", "vs_baseline": round(vs, 3)}))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

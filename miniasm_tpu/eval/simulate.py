@@ -1,0 +1,107 @@
+"""Synthetic long-read overlap simulator.
+
+Generates a random genome, noisy-long-read-like intervals, per-read
+orientations, and the all-vs-all PAF a perfect overlapper would produce
+(plus the reads FASTA).  Used by unit/parity tests and by bench.py — the
+environment has no network access to the reference's public datasets
+(misc/demo-ecoli-pacbio.sh), so this stands in for them with the same
+shapes and coverage profile.
+
+Coordinates follow the PAF convention exactly: query/target starts are on
+the read's forward strand; strand '-' when the two reads come from opposite
+genome strands (PAF.md in the reference).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+RC = {"A": "T", "C": "G", "G": "C", "T": "A"}
+
+
+def revcomp(s: str) -> str:
+    return s.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+
+
+def simulate(genome_len=200_000, coverage=20.0, mean_read=8000, sd_read=2000,
+             min_read=1000, seed=42, circular=False, min_ovlp_emit=100,
+             name_prefix="read"):
+    """Returns dict with: names, gs, ge, ori, lens, genome (str)."""
+    rng = np.random.default_rng(seed)
+    n_reads = int(genome_len * coverage / mean_read)
+    lens = np.maximum(min_read, rng.normal(mean_read, sd_read, n_reads).astype(np.int64))
+    if circular:
+        starts = rng.integers(0, genome_len, n_reads)
+    else:
+        lens = np.minimum(lens, genome_len)
+        starts = rng.integers(0, genome_len - lens + 1, n_reads)
+    ori = rng.integers(0, 2, n_reads).astype(np.int8)
+    genome = rng.integers(0, 4, genome_len, dtype=np.int8)
+    gseq = "".join("ACGT"[b] for b in genome) if genome_len <= 2_000_000 else None
+    order = np.argsort(starts, kind="stable")
+    names = ["%s%06d" % (name_prefix, i) for i in range(n_reads)]
+    return {
+        "names": names, "gs": starts, "ge": starts + lens, "ori": ori,
+        "lens": lens, "genome": gseq, "order": order,
+        "circular": circular, "genome_len": genome_len,
+        "min_ovlp_emit": min_ovlp_emit,
+    }
+
+
+def _proj(gs, ge, ori, s, e):
+    """Project genome interval [s,e) onto a read's forward-strand coords."""
+    if ori == 0:
+        return s - gs, e - gs
+    return ge - e, ge - s
+
+
+def paf_records(sim):
+    """Yield PAF tuples for every overlapping read pair (each unordered pair
+    once, smaller sweep index as query)."""
+    gs, ge, ori = sim["gs"], sim["ge"], sim["ori"]
+    names, lens = sim["names"], sim["lens"]
+    order = sim["order"]
+    min_emit = sim["min_ovlp_emit"]
+    n = len(order)
+    active: list[int] = []
+    for oi in range(n):
+        i = order[oi]
+        new_active = []
+        for j in active:
+            if ge[j] > gs[i]:
+                new_active.append(j)
+        active = new_active
+        for j in active:
+            s = max(gs[i], gs[j])
+            e = min(ge[i], ge[j])
+            if e - s < min_emit:
+                continue
+            qs, qe = _proj(gs[j], ge[j], ori[j], s, e)
+            ts, te = _proj(gs[i], ge[i], ori[i], s, e)
+            rev = "-" if ori[i] != ori[j] else "+"
+            ml = bl = e - s
+            yield (names[j], int(lens[j]), int(qs), int(qe), rev,
+                   names[i], int(lens[i]), int(ts), int(te), int(ml), int(bl))
+        active.append(i)
+
+
+def write_paf(sim, path) -> int:
+    cnt = 0
+    with open(path, "w") as f:
+        for r in paf_records(sim):
+            f.write("%s\t%d\t%d\t%d\t%s\t%s\t%d\t%d\t%d\t%d\t%d\tcm:i:%d\n"
+                    % (r + (r[9] // 50,)))
+            cnt += 1
+    return cnt
+
+
+def write_fasta(sim, path) -> None:
+    g = sim["genome"]
+    assert g is not None, "genome too large to materialize"
+    with open(path, "w") as f:
+        for name, s, e, o in zip(sim["names"], sim["gs"], sim["ge"], sim["ori"]):
+            seq = g[int(s):int(e)]
+            if o:
+                seq = revcomp(seq)
+            f.write(">%s\n%s\n" % (name, seq))

@@ -1,0 +1,162 @@
+"""End-to-end pipeline driver (reference main.c:32-211).
+
+Steps:
+  0. optional contained-read prefilter (-R)           [host stream]
+  1. PAF load + mirror + stable sort                  [host -> device]
+  2. crude read selection (sub/cut/flt)               [device kernels]
+  3. fine read selection (sub/cut/merge/contained)    [device + host squeeze]
+  4. string-graph build + cleaning                    [device kernels +
+                                                       sequential commit]
+  5. unitigs + sequences + GFA                        [host]
+
+Stage gating via `stage` mirrors -S (reference main.c:121-188).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from .config import Opt
+from .core.hits import Hits, build_hits
+from .io.paf import load_paf, no_cont_prefilter
+from .select.subregion import hit_sub, log_sub
+from .select.cut import hit_cut
+from .select.filter import hit_flt, flt_coverage
+from .select.contained import hit_contained
+from .graph.asg import graph_from_hits
+from .graph.clean import del_trans, del_short
+from .graph.seqclean import cut_tip, cut_internal, cut_biloop, pop_bubble
+from .unitig.unitig import ug_gen
+from .unitig.seq import ug_seq
+from .gfa.writer import ug_print, sg_print, print_subs, print_hits
+from .utils.timers import log
+
+
+def _apply_cut(hits: Hits, keep, qs, qe, ts, te) -> Hits:
+    keep = np.asarray(keep)
+    return Hits(np.asarray(hits.qid), np.asarray(qs, dtype=np.uint32),
+                np.asarray(qe, dtype=np.uint32), np.asarray(hits.tid),
+                np.asarray(ts, dtype=np.uint32), np.asarray(te, dtype=np.uint32),
+                np.asarray(hits.ml), np.asarray(hits.bl),
+                np.asarray(hits.rev)).take(keep)
+
+
+def run(paf_fn: str, opt: Opt, *, outfmt: str = "ug", fn_reads: str | None = None,
+        stage: int = 100, no_first: bool = False, no_second: bool = False,
+        bi_dir: bool = True, no_cont: bool = False, out=None):
+    out = out or sys.stdout
+
+    excl = None
+    if no_cont:
+        sys.stderr.write("[M::main] ===> Step 0: removing contained reads <===\n")
+        excl = no_cont_prefilter(paf_fn, opt.min_span, opt.min_match,
+                                 opt.max_hang, opt.int_frac)
+
+    sys.stderr.write("[M::main] ===> Step 1: reading read mappings <===\n")
+    load = load_paf(paf_fn, opt.min_span, opt.min_match, excl=excl)
+    d = load.d
+    hits = build_hits(load, bi_dir=bi_dir)
+
+    sub_s = sub_e = sub_del = None
+    if not no_first:
+        sys.stderr.write("[M::main] ===> Step 2: 1-pass (crude) read selection <===\n")
+        if stage >= 2:
+            sub_s, sub_e, sub_del = [np.asarray(x) for x in hit_sub(
+                hits.qid, hits.tid, hits.qs, hits.qe, hits.ml, hits.bl,
+                d.n_seq, opt.min_dp, opt.min_iden, 0)]
+            log_sub(sub_s, sub_e)
+            keep, qs, qe, ts, te = hit_cut(
+                hits.qid, hits.tid, hits.qs, hits.qe, hits.ts, hits.te,
+                hits.rev, sub_s, sub_e, sub_del, opt.min_span)
+            hits = _apply_cut(hits, keep, qs, qe, ts, te)
+            log("hit_cut", "%d hits remain after cut", hits.n)
+        if stage >= 3:
+            keep, dp = hit_flt(hits.qid, hits.tid, hits.qs, hits.qe,
+                               hits.ts, hits.te, hits.rev,
+                               sub_s, sub_e, sub_del,
+                               int(opt.max_hang * 1.5), int(opt.min_ovlp * 0.5))
+            dp_sum = int(np.sum(np.asarray(dp, dtype=np.int64)))
+            hits = hits.take(np.asarray(keep))
+            cov = flt_coverage(hits.qid, dp_sum, sub_s, sub_e, hits.n)
+            log("hit_flt", "%d hits remain after filtering; crude coverage after filtering: %.2f",
+                hits.n, cov)
+
+    if not no_second:
+        sys.stderr.write("[M::main] ===> Step 3: 2-pass (fine) read selection <===\n")
+        if stage >= 4:
+            s2, e2, dl2 = [np.asarray(x) for x in hit_sub(
+                hits.qid, hits.tid, hits.qs, hits.qe, hits.ml, hits.bl,
+                d.n_seq, opt.min_dp, opt.min_iden, opt.min_span // 2)]
+            log_sub(s2, e2)
+            keep, qs, qe, ts, te = hit_cut(
+                hits.qid, hits.tid, hits.qs, hits.qe, hits.ts, hits.te,
+                hits.rev, s2, e2, dl2, opt.min_span)
+            hits = _apply_cut(hits, keep, qs, qe, ts, te)
+            log("hit_cut", "%d hits remain after cut", hits.n)
+            if not no_first:
+                # compose pass-2 intervals into pass-1 frame (ma_sub_merge,
+                # hit.c:218-223)
+                sub_e = sub_s + e2
+                sub_s = sub_s + s2
+                sub_del = sub_del | dl2
+            else:
+                sub_s, sub_e, sub_del = s2, e2, dl2
+        if stage >= 5:
+            hits, sub_s, sub_e, sub_del = hit_contained(
+                opt, d, sub_s, sub_e, sub_del, hits)
+
+    if outfmt == "bed":
+        print_subs(d, sub_s, sub_e, out)
+        return None
+    if outfmt == "paf":
+        print_hits(hits, d, sub_s, sub_e, out)
+        return None
+    if outfmt not in ("ug", "sg"):
+        raise ValueError("unknown output format %r" % outfmt)
+
+    sys.stderr.write("[M::main] ===> Step 4: graph cleaning <===\n")
+    lens = d.lens_array()
+    dels = d.del_array()
+    g = graph_from_hits(opt, lens, dels, sub_s, sub_e, sub_del, hits)
+    if stage >= 6:
+        sys.stderr.write("[M::main] ===> Step 4.1: transitive reduction <===\n")
+        g = del_trans(g, opt.gap_fuzz)
+    if stage >= 7:
+        sys.stderr.write("[M::main] ===> Step 4.2: initial tip cutting and bubble popping <===\n")
+        g, _ = cut_tip(g, opt.max_ext)
+        g, _ = pop_bubble(g, opt.bub_dist)
+    if stage >= 9:
+        sys.stderr.write("[M::main] ===> Step 4.3: cutting short overlaps (%d rounds in total) <===\n"
+                         % (opt.n_rounds + 1))
+        for i in range(opt.n_rounds + 1):
+            r = (opt.min_ovlp_drop_ratio
+                 + (opt.max_ovlp_drop_ratio - opt.min_ovlp_drop_ratio)
+                 / opt.n_rounds * i)
+            g, n_short = del_short(g, r)
+            if n_short:
+                g, _ = cut_tip(g, opt.max_ext)
+                g, _ = pop_bubble(g, opt.bub_dist)
+    if stage >= 10:
+        sys.stderr.write("[M::main] ===> Step 4.4: removing short internal sequences and bi-loops <===\n")
+        g, _ = cut_internal(g, 1)
+        g, _ = cut_biloop(g, opt.max_ext)
+        g, _ = cut_tip(g, opt.max_ext)
+        g, _ = pop_bubble(g, opt.bub_dist)
+    if stage >= 11:
+        sys.stderr.write("[M::main] ===> Step 4.5: aggressively cutting short overlaps <===\n")
+        g, n_short = del_short(g, opt.final_ovlp_drop_ratio)
+        if n_short:
+            g, _ = cut_tip(g, opt.max_ext)
+            g, _ = pop_bubble(g, opt.bub_dist)
+
+    if outfmt == "ug":
+        sys.stderr.write("[M::main] ===> Step 5: generating unitigs <===\n")
+        ug = ug_gen(g)
+        if fn_reads:
+            ug_seq(ug, d, sub_s, sub_e, fn_reads)
+        ug_print(ug, d, sub_s, sub_e, out)
+        return ug
+    sg_print(g, d, sub_s, sub_e, out)
+    return g

@@ -1,0 +1,125 @@
+"""Coverage-sweep read trimming (reference ma_hit_sub, hit.c:109-160).
+
+The reference walks each query's hit group, builds (start<<1, end<<1|1)
+events, introsorts them, and sweeps a +-1 depth counter to find the longest
+region with depth >= min_dp.  Here the whole file's events are processed at
+once on device:
+
+  - events = 2 per hit (masked), keys (qid, pos, is_end) — lexicographic
+    multi-key sort is equivalent to the reference's sort of pos<<1|flag;
+  - depth after each event = segmented cumsum of +-1;
+  - region starts are events where depth crosses up through min_dp, ends
+    where it crosses down; since depth changes by +-1, the k-th end pairs
+    with the most recent start (regions cannot nest at the threshold);
+  - longest region per query via segment_max, first-wins on ties like the
+    reference's strict `>` compare (hit.c:142).
+
+Reads with >=1 hit as query but no qualifying region are soft-deleted
+(hit.c:152); reads with no hits as query keep the calloc default
+{s=0, e=0, del=0} (hit.c:115), whose zero-length interval kills their hits
+at the next cut.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.timers import log
+
+
+def hit_sub(qid, tid, qs, qe, ml, bl, n_seq: int,
+            min_dp: int, min_iden: float, end_clip: int):
+    """Compute trim intervals. Hits must be sorted by (qid, qs).
+
+    Returns (sub_s u32, sub_e u32, sub_del bool) arrays of length n_seq.
+    """
+    i32 = jnp.int32
+    qid = jnp.asarray(qid).astype(i32)
+    tid = jnp.asarray(tid).astype(i32)
+    qs = jnp.asarray(qs).astype(i32)
+    qe = jnp.asarray(qe).astype(i32)
+    mlf = jnp.asarray(ml).astype(jnp.float32)
+    blf = jnp.asarray(bl).astype(jnp.float32)
+    n = qid.shape[0]
+    if n == 0:
+        z = jnp.zeros(n_seq, dtype=jnp.uint32)
+        return z, z, jnp.zeros(n_seq, dtype=bool)
+
+    # --- event construction (hit.c:123-131) ---
+    valid = (tid != qid) & ~(mlf < blf * jnp.float32(min_iden))
+    evs = qs + end_clip           # qs of event pair
+    eve = qe - end_clip           # qe (span >= min_span > end_clip, no wrap)
+    valid = valid & (eve > evs)
+
+    # two events per hit: (pos, flag) with flag 0=start, 1=end
+    ev_qid = jnp.repeat(qid, 2)
+    ev_pos = jnp.stack([evs, eve], axis=1).reshape(-1)
+    ev_flag = jnp.tile(jnp.array([0, 1], dtype=i32), (n,))
+    ev_valid = jnp.repeat(valid, 2)
+
+    # sort: invalid events to the back, then (qid, pos, flag)
+    inval_key = (~ev_valid).astype(i32)
+    order = jax.lax.sort(
+        (inval_key, ev_qid, ev_pos, ev_flag, jnp.arange(2 * n, dtype=i32)),
+        dimension=0, is_stable=True, num_keys=4)[-1]
+    s_qid = ev_qid[order]
+    s_pos = ev_pos[order]
+    s_flag = ev_flag[order]
+    s_valid = ev_valid[order]
+
+    # --- segmented depth sweep (hit.c:134-144) ---
+    delta = jnp.where(s_valid, jnp.where(s_flag == 1, -1, 1), 0).astype(i32)
+    # depth AFTER each event, restarting at each qid segment
+    seg_id = jnp.where(s_valid, s_qid, n_seq)  # invalids in one dummy segment
+    cum = jnp.cumsum(delta)
+    seg_base = jax.ops.segment_min(
+        cum - delta, seg_id, num_segments=n_seq + 1, indices_are_sorted=True)
+    # depth before first event of a segment is 0; cum - delta at the first
+    # event of a segment equals the running total before it, so subtracting
+    # the segment's first (cum - delta) rebases the count to the segment.
+    depth = cum - seg_base[seg_id]
+    old_depth = depth - delta
+
+    is_start_tr = s_valid & (old_depth < min_dp) & (depth >= min_dp)
+    is_end_tr = s_valid & (old_depth >= min_dp) & (depth < min_dp)
+
+    # pair each end-transition with the most recent start-transition
+    idx = jnp.arange(2 * n, dtype=i32)
+    last_start = jax.lax.cummax(jnp.where(is_start_tr, idx, -1))
+    start_pos = s_pos[jnp.maximum(last_start, 0)]
+    length = jnp.where(is_end_tr & (last_start >= 0), s_pos - start_pos, -1)
+
+    # --- longest region per query, first-wins ties (hit.c:142) ---
+    best_len = jax.ops.segment_max(
+        jnp.where(is_end_tr, length, -1), seg_id,
+        num_segments=n_seq + 1, indices_are_sorted=True)
+    blen = best_len[seg_id]
+    cand = is_end_tr & (length == blen) & (blen > 0)
+    first_idx = jax.ops.segment_min(
+        jnp.where(cand, idx, jnp.int32(2**31 - 1)), seg_id,
+        num_segments=n_seg_arg(n_seq), indices_are_sorted=True)[:n_seq + 1]
+    has = first_idx < 2**31 - 1
+    gi = jnp.minimum(first_idx, 2 * n - 1)
+    reg_e = s_pos[gi]
+    reg_s = start_pos[gi]
+
+    # --- reads with hits as query (group presence, hit.c:117) ---
+    has_query = jnp.zeros(n_seq + 1, dtype=bool).at[qid].set(True)
+
+    best = has[:n_seq] & has_query[:n_seq]
+    sub_s = jnp.where(best, (reg_s[:n_seq] - end_clip), 0).astype(jnp.uint32)
+    sub_e = jnp.where(best, (reg_e[:n_seq] + end_clip), 0).astype(jnp.uint32)
+    sub_del = has_query[:n_seq] & ~best
+    return sub_s, sub_e, sub_del
+
+
+def n_seg_arg(n_seq: int) -> int:
+    return n_seq + 1
+
+
+def log_sub(sub_s, sub_e):
+    import numpy as np
+
+    n_remained = int(np.sum(np.asarray(sub_e) > np.asarray(sub_s)))
+    log("hit_sub", "%d query sequences remain after sub", n_remained)
