@@ -6,7 +6,7 @@ callers fall back to the pure-Python implementations when unavailable.
 
 from __future__ import annotations
 
-HAS_PAF = False  # flips to True once the native PAF tokenizer lands
+HAS_PAF = True
 
 
 def available() -> bool:

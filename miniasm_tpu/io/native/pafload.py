@@ -1,0 +1,76 @@
+"""ctypes wrapper for the native PAF loader (pafread.cpp)."""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from ..seqdict import SeqDict
+
+
+class _MaPafLoad(ctypes.Structure):
+    _fields_ = [
+        ("n_rec", ctypes.c_int64),
+        ("n_seq", ctypes.c_int64),
+        ("n_lines", ctypes.c_int64),
+        ("names_bytes", ctypes.c_int64),
+        ("qid", ctypes.POINTER(ctypes.c_int32)),
+        ("qs", ctypes.POINTER(ctypes.c_uint32)),
+        ("qe", ctypes.POINTER(ctypes.c_uint32)),
+        ("tid", ctypes.POINTER(ctypes.c_int32)),
+        ("ts", ctypes.POINTER(ctypes.c_uint32)),
+        ("te", ctypes.POINTER(ctypes.c_uint32)),
+        ("ml", ctypes.POINTER(ctypes.c_uint32)),
+        ("bl", ctypes.POINTER(ctypes.c_uint32)),
+        ("rev", ctypes.POINTER(ctypes.c_uint8)),
+        ("seq_len", ctypes.POINTER(ctypes.c_uint32)),
+        ("names", ctypes.POINTER(ctypes.c_char)),
+    ]
+
+
+def _arr(ptr, n, dtype):
+    if n == 0:
+        return np.zeros(0, dtype=dtype)
+    return np.ctypeslib.as_array(ptr, shape=(n,)).astype(dtype, copy=True)
+
+
+def load_paf_native(fn, min_span, min_match, excl=None, d=None):
+    from ..paf import PafLoad
+    from .build import get_lib
+
+    lib = get_lib()
+    lib.ma_paf_load.restype = ctypes.POINTER(_MaPafLoad)
+    lib.ma_paf_load.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                ctypes.c_int64, ctypes.c_char_p,
+                                ctypes.c_int64]
+    lib.ma_paf_free.argtypes = [ctypes.POINTER(_MaPafLoad)]
+
+    if excl is not None and excl.n_seq:
+        blob = b"\0".join(n.encode() for n in excl.names) + b"\0"
+    else:
+        blob = b""
+    res = lib.ma_paf_load(fn.encode(), min_span, min_match, blob, len(blob))
+    if not res:
+        raise FileNotFoundError(2, "could not open PAF file", fn)
+    r = res.contents
+    n = int(r.n_rec)
+    ns = int(r.n_seq)
+    out_d = d if d is not None else SeqDict()
+    names_blob = ctypes.string_at(r.names, int(r.names_bytes))
+    names = names_blob.decode("latin-1").split("\0")[:ns]
+    lens = _arr(r.seq_len, ns, np.uint32)
+    assert out_d.n_seq == 0, "native loader requires a fresh dict"
+    for nm, ln in zip(names, lens):
+        out_d.index[nm] = len(out_d.names)
+        out_d.names.append(nm)
+        out_d.lens.append(int(ln))
+
+    load = PafLoad(
+        qid=_arr(r.qid, n, np.int32), qs=_arr(r.qs, n, np.uint32),
+        qe=_arr(r.qe, n, np.uint32), tid=_arr(r.tid, n, np.int32),
+        ts=_arr(r.ts, n, np.uint32), te=_arr(r.te, n, np.uint32),
+        ml=_arr(r.ml, n, np.uint32), bl=_arr(r.bl, n, np.uint32),
+        rev=_arr(r.rev, n, np.uint8), d=out_d, n_lines=int(r.n_lines))
+    lib.ma_paf_free(res)
+    return load

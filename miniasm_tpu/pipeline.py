@@ -60,6 +60,19 @@ def run(paf_fn: str, opt: Opt, *, outfmt: str = "ug", fn_reads: str | None = Non
     hits = build_hits(load, bi_dir=bi_dir)
 
     sub_s = sub_e = sub_del = None
+    if not no_first and not no_second and stage >= 5:
+        # fast path: Steps 2+3 in one fused device kernel
+        from .select.fused import select_fused
+        from .select.contained import apply_contained
+
+        sys.stderr.write("[M::main] ===> Steps 2-3: fused read selection <===\n")
+        hits, sub_s, sub_e, sub_del, cont, counts = select_fused(hits, d, opt)
+        log("select_fused", "%d | %d | %d hits after cut/filter/cut", *counts[:3])
+        hits, sub_s, sub_e, sub_del = apply_contained(
+            d, sub_s, sub_e, sub_del, cont, hits)
+        return _emit(paf_fn, opt, outfmt, fn_reads, stage, out, d, hits,
+                     sub_s, sub_e, sub_del)
+
     if not no_first:
         sys.stderr.write("[M::main] ===> Step 2: 1-pass (crude) read selection <===\n")
         if stage >= 2:
@@ -107,6 +120,12 @@ def run(paf_fn: str, opt: Opt, *, outfmt: str = "ug", fn_reads: str | None = Non
             hits, sub_s, sub_e, sub_del = hit_contained(
                 opt, d, sub_s, sub_e, sub_del, hits)
 
+    return _emit(paf_fn, opt, outfmt, fn_reads, stage, out, d, hits,
+                 sub_s, sub_e, sub_del)
+
+
+def _emit(paf_fn, opt, outfmt, fn_reads, stage, out, d, hits,
+          sub_s, sub_e, sub_del):
     if outfmt == "bed":
         print_subs(d, sub_s, sub_e, out)
         return None

@@ -39,13 +39,20 @@ def contained_marks(qid, tid, qs, qe, ts, te, rev,
 def hit_contained(opt, d, sub_s, sub_e, sub_del, hits):
     """Full pass. Mutates `d` (squeeze); returns (hits', sub_s', sub_e',
     sub_del') with dense new ids."""
-    from ..core.hits import Hits
-
     n_seq = d.n_seq
     dmask = np.asarray(contained_marks(
         hits.qid, hits.tid, hits.qs, hits.qe, hits.ts, hits.te, hits.rev,
         sub_s, sub_e, n_seq, opt.max_hang, opt.int_frac, opt.min_ovlp))
-    sub_del = np.asarray(sub_del) | dmask
+    return apply_contained(d, sub_s, sub_e, sub_del, dmask, hits)
+
+
+def apply_contained(d, sub_s, sub_e, sub_del, cont_mask, hits):
+    """Host half of ma_hit_contained (hit.c:237-256): propagate deletions,
+    drop unused reads, squeeze ids, remap + compact hits."""
+    from ..core.hits import Hits
+
+    n_seq = d.n_seq
+    sub_del = np.asarray(sub_del) | np.asarray(cont_mask)
 
     # sub deletions -> dict deletions (hit.c:237-238)
     d.mark_deleted(sub_del)
