@@ -142,6 +142,25 @@ def _emit(paf_fn, opt, outfmt, fn_reads, stage, out, d, hits,
     if stage >= 6:
         sys.stderr.write("[M::main] ===> Step 4.1: transitive reduction <===\n")
         g = del_trans(g, opt.gap_fuzz)
+
+    import os
+
+    from .graph import finalize_native as fnat
+
+    if fnat.available() and not os.environ.get("MINIASM_TPU_NO_NATIVE"):
+        # native sequential-commit path (identical output to the Python
+        # passes below; cross-checked by tests)
+        sys.stderr.write("[M::main] ===> Steps 4.2-4.5: graph cleaning (native) <===\n")
+        g, ug = fnat.finalize_native(g, opt, stage, do_ug=(outfmt == "ug"))
+        if outfmt == "ug":
+            sys.stderr.write("[M::main] ===> Step 5: generating unitigs <===\n")
+            if fn_reads:
+                ug_seq(ug, d, sub_s, sub_e, fn_reads)
+            ug_print(ug, d, sub_s, sub_e, out)
+            return ug
+        sg_print(g, d, sub_s, sub_e, out)
+        return g
+
     if stage >= 7:
         sys.stderr.write("[M::main] ===> Step 4.2: initial tip cutting and bubble popping <===\n")
         g, _ = cut_tip(g, opt.max_ext)
@@ -149,10 +168,12 @@ def _emit(paf_fn, opt, outfmt, fn_reads, stage, out, d, hits,
     if stage >= 9:
         sys.stderr.write("[M::main] ===> Step 4.3: cutting short overlaps (%d rounds in total) <===\n"
                          % (opt.n_rounds + 1))
+        fmin = np.float32(opt.min_ovlp_drop_ratio)
+        fmax = np.float32(opt.max_ovlp_drop_ratio)
         for i in range(opt.n_rounds + 1):
-            r = (opt.min_ovlp_drop_ratio
-                 + (opt.max_ovlp_drop_ratio - opt.min_ovlp_drop_ratio)
-                 / opt.n_rounds * i)
+            # float32 arithmetic chain, matching the reference's float
+            # ma_opt_t members (main.c:168)
+            r = fmin + (fmax - fmin) / np.float32(opt.n_rounds) * np.float32(i)
             g, n_short = del_short(g, r)
             if n_short:
                 g, _ = cut_tip(g, opt.max_ext)
