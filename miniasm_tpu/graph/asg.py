@@ -109,6 +109,44 @@ def cleanup(g: Graph) -> Graph:
                  g.slen, g.sdel, start, cnt, g.is_symm, True)
 
 
+def graph_from_arcs(d, sub_s, sub_e, sub_del, cont, used, pal, arcs) -> Graph:
+    """Device-resident graph-build path: consume the arc columns emitted by
+    select_build (old read ids), perform the host half of containment
+    removal (hit.c:237-256: dict deletions, unused-read drop, squeeze) and
+    assemble the string graph (ma_sg_gen, asm.c:9-39) without ever
+    materializing hit columns on the host.
+
+    Returns (graph, sub_s', sub_e', sub_del') in new dense ids; mutates d.
+    """
+    sub_del = np.asarray(sub_del) | np.asarray(cont)
+    d.mark_deleted(sub_del)
+    d.mark_deleted(~np.asarray(used))
+    mp = d.squeeze()
+    keep_read = mp >= 0
+    sub_s = np.asarray(sub_s)[keep_read]
+    sub_e = np.asarray(sub_e)[keep_read]
+    sub_del2 = sub_del[keep_read]
+    slen = (sub_e.astype(np.int64) - sub_s.astype(np.int64)).astype(np.uint32)
+    sdel = np.asarray(pal)[keep_read] | sub_del2
+
+    mq = mp[arcs["u"] >> 1]
+    mv = mp[arcs["v"] >> 1]
+    keep = (mq >= 0) & (mv >= 0)
+    u = ((mq[keep] << 1) | (arcs["u"][keep] & 1)).astype(np.int32)
+    v = ((mv[keep] << 1) | (arcs["v"][keep] & 1)).astype(np.int32)
+    l = arcs["l"][keep].astype(np.int32)
+    ol = arcs["ol"][keep].astype(np.int32)
+    n_seq = d.n_seq
+    log("hit_contained", "%d sequences remain after containment removal", n_seq)
+    g = Graph(u=u, l=l, v=v, ol=ol, adel=np.zeros(len(u), dtype=bool),
+              slen=slen, sdel=sdel,
+              idx_start=np.zeros(2 * n_seq, dtype=np.int64),
+              idx_cnt=np.zeros(2 * n_seq, dtype=np.int32))
+    g = cleanup(g)
+    log("sg_gen", "read %d arcs", g.n_arc)
+    return g, sub_s, sub_e, sub_del2
+
+
 def graph_from_hits(opt, lens, dels, sub_s, sub_e, sub_del, hits) -> Graph:
     """Build the string graph from surviving hits (reference ma_sg_gen,
     asm.c:9-39): vectorized hit2arc with final parameters; arcs appended in

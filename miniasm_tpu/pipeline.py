@@ -61,11 +61,25 @@ def run(paf_fn: str, opt: Opt, *, outfmt: str = "ug", fn_reads: str | None = Non
 
     sub_s = sub_e = sub_del = None
     if not no_first and not no_second and stage >= 5:
-        # fast path: Steps 2+3 in one fused device kernel
+        sys.stderr.write("[M::main] ===> Steps 2-3: fused read selection <===\n")
+        if outfmt in ("ug", "sg"):
+            # fully device-resident: selection + arc classification in one
+            # kernel; only arc columns and per-read masks come back
+            from .select.fused import select_build
+            from .graph.asg import graph_from_arcs
+
+            arcs, used, pal, sub_s, sub_e, sub_del, cont, counts = \
+                select_build(hits, d, opt)
+            log("select_fused", "%d | %d | %d hits after cut/filter/cut",
+                *counts[:3])
+            g, sub_s, sub_e, sub_del = graph_from_arcs(
+                d, sub_s, sub_e, sub_del, cont, used, pal, arcs)
+            return _emit(paf_fn, opt, outfmt, fn_reads, stage, out, d, None,
+                         sub_s, sub_e, sub_del, prebuilt=g)
+        # bed/paf need the surviving hit columns on the host
         from .select.fused import select_fused
         from .select.contained import apply_contained
 
-        sys.stderr.write("[M::main] ===> Steps 2-3: fused read selection <===\n")
         hits, sub_s, sub_e, sub_del, cont, counts = select_fused(hits, d, opt)
         log("select_fused", "%d | %d | %d hits after cut/filter/cut", *counts[:3])
         hits, sub_s, sub_e, sub_del = apply_contained(
@@ -125,7 +139,7 @@ def run(paf_fn: str, opt: Opt, *, outfmt: str = "ug", fn_reads: str | None = Non
 
 
 def _emit(paf_fn, opt, outfmt, fn_reads, stage, out, d, hits,
-          sub_s, sub_e, sub_del):
+          sub_s, sub_e, sub_del, prebuilt=None):
     if outfmt == "bed":
         print_subs(d, sub_s, sub_e, out)
         return None
@@ -138,7 +152,10 @@ def _emit(paf_fn, opt, outfmt, fn_reads, stage, out, d, hits,
     sys.stderr.write("[M::main] ===> Step 4: graph cleaning <===\n")
     lens = d.lens_array()
     dels = d.del_array()
-    g = graph_from_hits(opt, lens, dels, sub_s, sub_e, sub_del, hits)
+    if prebuilt is not None:
+        g = prebuilt
+    else:
+        g = graph_from_hits(opt, lens, dels, sub_s, sub_e, sub_del, hits)
     if stage >= 6:
         sys.stderr.write("[M::main] ===> Step 4.1: transitive reduction <===\n")
         g = del_trans(g, opt.gap_fuzz)

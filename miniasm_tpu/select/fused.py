@@ -32,9 +32,9 @@ def _next_pow2(x: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=(
     "n_seq_cap", "min_span", "min_dp", "min_iden", "max_hang", "int_frac",
-    "min_ovlp", "do_flt"))
+    "min_ovlp", "do_flt", "emit_arcs"))
 def _select_kernel(colmat, n_seq, *, n_seq_cap, min_span, min_dp, min_iden,
-                   max_hang, int_frac, min_ovlp, do_flt):
+                   max_hang, int_frac, min_ovlp, do_flt, emit_arcs=False):
     """colmat: (10, N) int32 [qid qs qe tid ts te ml bl rev valid]."""
     qid, qs, qe, tid, ts, te, ml, bl, rev, valid = [colmat[i] for i in range(10)]
     valid = valid.astype(bool) & (qid < n_seq)
@@ -92,14 +92,78 @@ def _select_kernel(colmat, n_seq, *, n_seq_cap, min_span, min_dp, min_iden,
     cont = cont.at[jnp.where(r == MA_HT_QCONT, qid, n_seq_cap + 1)].set(True)
     cont = cont.at[jnp.where(r == MA_HT_TCONT, tid, n_seq_cap + 1)].set(True)
 
-    out = jnp.stack([qid, qs.astype(jnp.int32), qe.astype(jnp.int32),
-                     tid, ts.astype(jnp.int32), te.astype(jnp.int32),
-                     ml, bl, rev, valid.astype(jnp.int32)])
     counts = jnp.stack([n_cut1, n_flt, n_cut2,
                         dp_sum.astype(jnp.int32)])  # dp_sum: log-only, approx
     subtab = jnp.stack([ms.astype(jnp.int32), me.astype(jnp.int32),
                         mdel.astype(jnp.int32), cont[:-1].astype(jnp.int32)])
-    return out, subtab, counts
+
+    if not emit_arcs:
+        out = jnp.stack([qid, qs.astype(jnp.int32), qe.astype(jnp.int32),
+                         tid, ts.astype(jnp.int32), te.astype(jnp.int32),
+                         ml, bl, rev, valid.astype(jnp.int32)])
+        return out, subtab, counts
+
+    # --- graph-build outputs (ma_sg_gen, asm.c:9-39), staying on device ---
+    # `c` already holds the final-parameter classification of every row.
+    # `used` must reflect hits BEFORE containment removal (hit.c:24-36).
+    used = jnp.zeros(n_seq_cap + 1, dtype=bool)
+    used = used.at[jnp.where(valid, qid, n_seq_cap)].set(True)
+    used = used.at[jnp.where(valid, tid, n_seq_cap)].set(True)
+    is_self = qid == tid
+    qsu = qs.astype(jnp.uint32)
+    pal_rows = (valid & (c["r"] >= 0) & is_self & (qsu == ts.astype(jnp.uint32))
+                & (qe.astype(jnp.uint32) == te.astype(jnp.uint32))
+                & (rev != 0))
+    pal = jnp.zeros(n_seq_cap + 1, dtype=bool)
+    pal = pal.at[jnp.where(pal_rows, qid, n_seq_cap)].set(True)
+
+    arc_rows = valid & (c["r"] >= 0) & ~is_self
+    # stable device compaction: arcs to the front, order preserved
+    key = (~arc_rows).astype(jnp.int32)
+    iota = jnp.arange(key.shape[0], dtype=jnp.int32)
+    perm = jax.lax.sort((key, iota), dimension=0, is_stable=True, num_keys=1)[1]
+    arcmat = jnp.stack([c["u"][perm], c["l"][perm], c["v"][perm],
+                        c["ol"][perm]])
+    n_arc = jnp.sum(arc_rows)
+    aux = jnp.stack([used[:-1].astype(jnp.int32), pal[:-1].astype(jnp.int32)])
+    return arcmat, n_arc, aux, subtab, counts
+
+
+def _upload(hits, n_seq):
+    n = hits.n
+    cap = _next_pow2(max(n, 1))
+    n_seq_cap = _next_pow2(max(n_seq, 1))
+    colmat = np.zeros((10, cap), dtype=np.int32)
+    for i, c in enumerate(hits.cols()):
+        colmat[i, :n] = np.asarray(c, dtype=np.int64).astype(np.int32)
+    colmat[9, :n] = 1
+    return jnp.asarray(colmat), n_seq_cap
+
+
+def select_build(hits, d, opt):
+    """Steps 2-3 + graph-arc classification in one device kernel; downloads
+    only the compacted arc columns and per-read masks (never the hit
+    columns).  Returns (arcs dict, used, pal, sub_s, sub_e, sub_del, cont,
+    counts)."""
+    n_seq = d.n_seq
+    dev, n_seq_cap = _upload(hits, n_seq)
+    arcmat, n_arc, aux, subtab, counts = _select_kernel(
+        dev, n_seq,
+        n_seq_cap=n_seq_cap, min_span=opt.min_span, min_dp=opt.min_dp,
+        min_iden=float(opt.min_iden), max_hang=opt.max_hang,
+        int_frac=float(opt.int_frac), min_ovlp=opt.min_ovlp, do_flt=True,
+        emit_arcs=True)
+    n_arc = int(n_arc)
+    arcs = np.asarray(arcmat[:, :n_arc])  # device slice -> small download
+    aux = np.asarray(aux)[:, :n_seq]
+    subtab = np.asarray(subtab)[:, :n_seq]
+    counts = [int(x) for x in np.asarray(counts)]
+    return (
+        {"u": arcs[0].astype(np.int32), "l": arcs[1].astype(np.int32),
+         "v": arcs[2].astype(np.int32), "ol": arcs[3].astype(np.int32)},
+        aux[0].astype(bool), aux[1].astype(bool),
+        subtab[0].astype(np.uint32), subtab[1].astype(np.uint32),
+        subtab[2].astype(bool), subtab[3].astype(bool), counts)
 
 
 def select_fused(hits, d, opt, *, do_flt=True):
@@ -108,17 +172,10 @@ def select_fused(hits, d, opt, *, do_flt=True):
     caller."""
     from ..core.hits import Hits
 
-    n = hits.n
     n_seq = d.n_seq
-    cap = _next_pow2(max(n, 1))
-    n_seq_cap = _next_pow2(max(n_seq, 1))
-    colmat = np.zeros((10, cap), dtype=np.int32)
-    for i, c in enumerate(hits.cols()):
-        colmat[i, :n] = np.asarray(c, dtype=np.int64).astype(np.int32)
-    colmat[9, :n] = 1
-
+    dev, n_seq_cap = _upload(hits, n_seq)
     out, subtab, counts = _select_kernel(
-        jnp.asarray(colmat), n_seq,
+        dev, n_seq,
         n_seq_cap=n_seq_cap, min_span=opt.min_span, min_dp=opt.min_dp,
         min_iden=float(opt.min_iden), max_hang=opt.max_hang,
         int_frac=float(opt.int_frac), min_ovlp=opt.min_ovlp, do_flt=do_flt)

@@ -52,11 +52,13 @@ def hit_sub(qid, tid, qs, qe, ml, bl, n_seq: int,
     eve = qe - end_clip           # qe (span >= min_span > end_clip, no wrap)
     valid = valid & (eve > evs)
 
-    # two events per hit: (pos, flag) with flag 0=start, 1=end
-    ev_qid = jnp.repeat(qid, 2)
-    ev_pos = jnp.stack([evs, eve], axis=1).reshape(-1)
-    ev_flag = jnp.tile(jnp.array([0, 1], dtype=i32), (n,))
-    ev_valid = jnp.repeat(valid, 2)
+    # two events per hit: (pos, flag) with flag 0=start, 1=end.  Plain
+    # concatenation (starts then ends) — the multi-key sort canonicalizes
+    # the order; interleaved (n, 2) layouts would be lane-padded 64x on TPU.
+    ev_qid = jnp.concatenate([qid, qid])
+    ev_pos = jnp.concatenate([evs, eve])
+    ev_flag = jnp.concatenate([jnp.zeros(n, i32), jnp.ones(n, i32)])
+    ev_valid = jnp.concatenate([valid, valid])
 
     # sort: invalid events to the back, then (qid, pos, flag)
     inval_key = (~ev_valid).astype(i32)
