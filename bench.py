@@ -19,6 +19,16 @@ import subprocess
 import sys
 import time
 
+import jax
+
+# persistent XLA compile cache: amortizes the one big kernel compile across
+# bench invocations (the TPU remote compile of the fused select kernel is
+# minutes; steady-state runs are seconds)
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("MINIASM_TPU_CACHE", "/tmp/jaxcache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
 BENCH_DIR = "/tmp/miniasm_tpu_bench"
 REF_SRC = "/root/reference"
 REF_BUILD = "/tmp/miniasm_ref_build"

@@ -259,3 +259,95 @@ void ma_paf_free(MaPafLoad* p) {
 }
 
 }  // extern "C"
+
+// ---- one-shot loader: parse + filter + intern + mirror + exact radix
+// sort + SoA colmat assembly (reference hit.c:70-107 end to end).  The
+// colmat layout matches select/fused.py: rows [qid qs qe tid ts te ml bl
+// rev valid], padded to a power of two with qid sentinel = n_seq_cap+1.
+
+extern "C" void ma_radix_argsort_u64(uint64_t*, int64_t*, int64_t);
+
+extern "C" {
+
+struct MaHitsLoad {
+    int64_t n_hits, n_seq, n_lines, cap, names_bytes;
+    int32_t* colmat;  // (10, cap) row-major
+    uint32_t* seq_len;
+    char* names;
+};
+
+MaHitsLoad* ma_paf_load_hits(const char* fn, int64_t min_span,
+                             int64_t min_match, const char* excl_names,
+                             int64_t excl_bytes, int bi_dir) {
+    MaPafLoad* raw = ma_paf_load(fn, min_span, min_match, excl_names, excl_bytes);
+    if (!raw) return nullptr;
+    int64_t n = raw->n_rec;
+
+    // mirrored hit sequence in reference insertion order (hit.c:87-98)
+    std::vector<uint64_t> keys;
+    std::vector<int64_t> src;  // rec<<1 | is_mirror
+    keys.reserve(bi_dir ? 2 * n : n);
+    src.reserve(bi_dir ? 2 * n : n);
+    for (int64_t i = 0; i < n; ++i) {
+        keys.push_back(static_cast<uint64_t>(raw->qid[i]) << 32 | raw->qs[i]);
+        src.push_back(i << 1);
+        if (bi_dir && raw->qid[i] != raw->tid[i]) {
+            keys.push_back(static_cast<uint64_t>(raw->tid[i]) << 32 | raw->ts[i]);
+            src.push_back(i << 1 | 1);
+        }
+    }
+    int64_t m = static_cast<int64_t>(keys.size());
+    ma_radix_argsort_u64(keys.data(), src.data(), m);
+
+    int64_t cap = 1;
+    while (cap < m) cap <<= 1;
+    int64_t n_seq_cap = 1;
+    while (n_seq_cap < raw->n_seq) n_seq_cap <<= 1;
+
+    auto* out = new MaHitsLoad();
+    out->n_hits = m;
+    out->n_seq = raw->n_seq;
+    out->n_lines = raw->n_lines;
+    out->cap = cap;
+    out->colmat = static_cast<int32_t*>(std::calloc(10 * cap, 4));
+    int32_t* C = out->colmat;
+    for (int64_t j = 0; j < m; ++j) {
+        int64_t i = src[j] >> 1;
+        bool mir = src[j] & 1;
+        int32_t q = mir ? raw->tid[i] : raw->qid[i];
+        int32_t t = mir ? raw->qid[i] : raw->tid[i];
+        uint32_t a = mir ? raw->ts[i] : raw->qs[i];
+        uint32_t b = mir ? raw->te[i] : raw->qe[i];
+        uint32_t c2 = mir ? raw->qs[i] : raw->ts[i];
+        uint32_t d2 = mir ? raw->qe[i] : raw->te[i];
+        C[0 * cap + j] = q;
+        C[1 * cap + j] = static_cast<int32_t>(a);
+        C[2 * cap + j] = static_cast<int32_t>(b);
+        C[3 * cap + j] = t;
+        C[4 * cap + j] = static_cast<int32_t>(c2);
+        C[5 * cap + j] = static_cast<int32_t>(d2);
+        C[6 * cap + j] = static_cast<int32_t>(raw->ml[i]);
+        C[7 * cap + j] = static_cast<int32_t>(raw->bl[i]);
+        C[8 * cap + j] = raw->rev[i];
+        C[9 * cap + j] = 1;
+    }
+    for (int64_t j = m; j < cap; ++j)
+        C[0 * cap + j] = static_cast<int32_t>(n_seq_cap + 1);
+    out->seq_len = raw->seq_len;
+    raw->seq_len = nullptr;
+    out->names = raw->names;
+    out->names_bytes = raw->names_bytes;
+    raw->names = nullptr;
+    ma_paf_free(raw);
+    return out;
+}
+
+void ma_hits_free(MaHitsLoad* p) {
+    if (!p) return;
+    std::free(p->colmat);
+    std::free(p->seq_len);
+    std::free(p->names);
+    delete p;
+}
+
+}  // extern "C"

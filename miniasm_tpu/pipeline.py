@@ -55,28 +55,52 @@ def run(paf_fn: str, opt: Opt, *, outfmt: str = "ug", fn_reads: str | None = Non
                                  opt.max_hang, opt.int_frac)
 
     sys.stderr.write("[M::main] ===> Step 1: reading read mappings <===\n")
-    load = load_paf(paf_fn, opt.min_span, opt.min_match, excl=excl)
-    d = load.d
-    hits = build_hits(load, bi_dir=bi_dir)
+    fast_ug = (not no_first and not no_second and stage >= 5
+               and outfmt in ("ug", "sg"))
+    colmat = None
+    if fast_ug:
+        try:
+            from .io.native import available
+            from .io.native.pafload import load_hits_native
+
+            if available():
+                colmat, n_hits, d, n_lines = load_hits_native(
+                    paf_fn, opt.min_span, opt.min_match, excl=excl,
+                    bi_dir=bi_dir)
+                log("hit_read", "read %d hits; stored %d hits and %d sequences (%d bp)",
+                    n_lines, n_hits, d.n_seq,
+                    int(np.sum(d.lens_array(), dtype=np.uint64)))
+        except ImportError:
+            pass
+    if colmat is None:
+        load = load_paf(paf_fn, opt.min_span, opt.min_match, excl=excl)
+        d = load.d
+        hits = build_hits(load, bi_dir=bi_dir)
 
     sub_s = sub_e = sub_del = None
-    if not no_first and not no_second and stage >= 5:
+    if fast_ug:
+        # fully device-resident: selection + arc classification in one
+        # kernel; only arc columns and per-read masks come back
         sys.stderr.write("[M::main] ===> Steps 2-3: fused read selection <===\n")
-        if outfmt in ("ug", "sg"):
-            # fully device-resident: selection + arc classification in one
-            # kernel; only arc columns and per-read masks come back
-            from .select.fused import select_build
-            from .graph.asg import graph_from_arcs
+        from .select.fused import select_build, select_build_colmat
+        from .graph.asg import graph_from_arcs
 
+        if colmat is not None:
+            arcs, used, pal, sub_s, sub_e, sub_del, cont, counts = \
+                select_build_colmat(colmat, n_hits, d, opt)
+        else:
             arcs, used, pal, sub_s, sub_e, sub_del, cont, counts = \
                 select_build(hits, d, opt)
-            log("select_fused", "%d | %d | %d hits after cut/filter/cut",
-                *counts[:3])
-            g, sub_s, sub_e, sub_del = graph_from_arcs(
-                d, sub_s, sub_e, sub_del, cont, used, pal, arcs)
-            return _emit(paf_fn, opt, outfmt, fn_reads, stage, out, d, None,
-                         sub_s, sub_e, sub_del, prebuilt=g)
-        # bed/paf need the surviving hit columns on the host
+        log("select_fused", "%d | %d | %d hits after cut/filter/cut",
+            *counts[:3])
+        g, sub_s, sub_e, sub_del = graph_from_arcs(
+            d, sub_s, sub_e, sub_del, cont, used, pal, arcs)
+        return _emit(paf_fn, opt, outfmt, fn_reads, stage, out, d, None,
+                     sub_s, sub_e, sub_del, prebuilt=g)
+
+    if not no_first and not no_second and stage >= 5 and outfmt in ("bed", "paf"):
+        # fused selection; bed/paf need the surviving hit columns on host
+        sys.stderr.write("[M::main] ===> Steps 2-3: fused read selection <===\n")
         from .select.fused import select_fused
         from .select.contained import apply_contained
 
