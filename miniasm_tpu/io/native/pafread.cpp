@@ -283,17 +283,32 @@ MaHitsLoad* ma_paf_load_hits(const char* fn, int64_t min_span,
     if (!raw) return nullptr;
     int64_t n = raw->n_rec;
 
-    // mirrored hit sequence in reference insertion order (hit.c:87-98)
+    // mirrored hit sequence in reference insertion order (hit.c:87-98),
+    // materialized as packed records so the post-sort permutation costs one
+    // random read per hit instead of ten
+    struct Rec {
+        int32_t qid, tid;
+        uint32_t qs, qe, ts, te, ml, bl;
+        uint32_t rev;
+    };
+    std::vector<Rec> recs;
     std::vector<uint64_t> keys;
-    std::vector<int64_t> src;  // rec<<1 | is_mirror
-    keys.reserve(bi_dir ? 2 * n : n);
-    src.reserve(bi_dir ? 2 * n : n);
+    std::vector<int64_t> src;
+    recs.reserve(bi_dir ? 2 * n : n);
+    keys.reserve(recs.capacity());
+    src.reserve(recs.capacity());
     for (int64_t i = 0; i < n; ++i) {
         keys.push_back(static_cast<uint64_t>(raw->qid[i]) << 32 | raw->qs[i]);
-        src.push_back(i << 1);
+        src.push_back(static_cast<int64_t>(recs.size()));
+        recs.push_back({raw->qid[i], raw->tid[i], raw->qs[i], raw->qe[i],
+                        raw->ts[i], raw->te[i], raw->ml[i], raw->bl[i],
+                        raw->rev[i]});
         if (bi_dir && raw->qid[i] != raw->tid[i]) {
             keys.push_back(static_cast<uint64_t>(raw->tid[i]) << 32 | raw->ts[i]);
-            src.push_back(i << 1 | 1);
+            src.push_back(static_cast<int64_t>(recs.size()));
+            recs.push_back({raw->tid[i], raw->qid[i], raw->ts[i], raw->te[i],
+                            raw->qs[i], raw->qe[i], raw->ml[i], raw->bl[i],
+                            raw->rev[i]});
         }
     }
     int64_t m = static_cast<int64_t>(keys.size());
@@ -311,25 +326,30 @@ MaHitsLoad* ma_paf_load_hits(const char* fn, int64_t min_span,
     out->cap = cap;
     out->colmat = static_cast<int32_t*>(std::calloc(10 * cap, 4));
     int32_t* C = out->colmat;
-    for (int64_t j = 0; j < m; ++j) {
-        int64_t i = src[j] >> 1;
-        bool mir = src[j] & 1;
-        int32_t q = mir ? raw->tid[i] : raw->qid[i];
-        int32_t t = mir ? raw->qid[i] : raw->tid[i];
-        uint32_t a = mir ? raw->ts[i] : raw->qs[i];
-        uint32_t b = mir ? raw->te[i] : raw->qe[i];
-        uint32_t c2 = mir ? raw->qs[i] : raw->ts[i];
-        uint32_t d2 = mir ? raw->qe[i] : raw->te[i];
-        C[0 * cap + j] = q;
-        C[1 * cap + j] = static_cast<int32_t>(a);
-        C[2 * cap + j] = static_cast<int32_t>(b);
-        C[3 * cap + j] = t;
-        C[4 * cap + j] = static_cast<int32_t>(c2);
-        C[5 * cap + j] = static_cast<int32_t>(d2);
-        C[6 * cap + j] = static_cast<int32_t>(raw->ml[i]);
-        C[7 * cap + j] = static_cast<int32_t>(raw->bl[i]);
-        C[8 * cap + j] = raw->rev[i];
-        C[9 * cap + j] = 1;
+    {
+        int32_t* R0 = C;
+        int32_t* R1 = C + cap;
+        int32_t* R2 = C + 2 * cap;
+        int32_t* R3 = C + 3 * cap;
+        int32_t* R4 = C + 4 * cap;
+        int32_t* R5 = C + 5 * cap;
+        int32_t* R6 = C + 6 * cap;
+        int32_t* R7 = C + 7 * cap;
+        int32_t* R8 = C + 8 * cap;
+        int32_t* R9 = C + 9 * cap;
+        for (int64_t j = 0; j < m; ++j) {
+            const Rec& r = recs[src[j]];  // one random read per hit
+            R0[j] = r.qid;
+            R1[j] = static_cast<int32_t>(r.qs);
+            R2[j] = static_cast<int32_t>(r.qe);
+            R3[j] = r.tid;
+            R4[j] = static_cast<int32_t>(r.ts);
+            R5[j] = static_cast<int32_t>(r.te);
+            R6[j] = static_cast<int32_t>(r.ml);
+            R7[j] = static_cast<int32_t>(r.bl);
+            R8[j] = static_cast<int32_t>(r.rev);
+            R9[j] = 1;
+        }
     }
     for (int64_t j = m; j < cap; ++j)
         C[0 * cap + j] = static_cast<int32_t>(n_seq_cap + 1);

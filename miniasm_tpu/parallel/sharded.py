@@ -78,12 +78,12 @@ def mirror_exchange(cols, n_local, *, n_shards: int, block: int, cap: int,
 
 def _local_sort(cols, valid):
     """Stable sort local hits by (valid desc, qid, qs)."""
+    from ..utils.arrays import argsort_multi
+
     qid = cols[0]
     qs = cols[1]
     inval = (~valid).astype(jnp.int32)
-    iota = jnp.arange(qid.shape[0], dtype=jnp.int32)
-    order = jax.lax.sort((inval, qid, qs, iota), dimension=0,
-                         is_stable=True, num_keys=3)[-1]
+    order = argsort_multi([inval, qid, qs])
     return [c[order] for c in cols], valid[order]
 
 

@@ -60,11 +60,12 @@ def hit_sub(qid, tid, qs, qe, ml, bl, n_seq: int,
     ev_flag = jnp.concatenate([jnp.zeros(n, i32), jnp.ones(n, i32)])
     ev_valid = jnp.concatenate([valid, valid])
 
-    # sort: invalid events to the back, then (qid, pos, flag)
+    # sort: invalid events to the back, then (qid, pos, flag); composed
+    # 2-operand stable sorts (see utils.arrays.argsort_multi)
+    from ..utils.arrays import argsort_multi
+
     inval_key = (~ev_valid).astype(i32)
-    order = jax.lax.sort(
-        (inval_key, ev_qid, ev_pos, ev_flag, jnp.arange(2 * n, dtype=i32)),
-        dimension=0, is_stable=True, num_keys=4)[-1]
+    order = argsort_multi([inval_key, ev_qid, ev_pos, ev_flag])
     s_qid = ev_qid[order]
     s_pos = ev_pos[order]
     s_flag = ev_flag[order]

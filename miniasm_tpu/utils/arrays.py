@@ -23,6 +23,10 @@ def argsort_multi(keys, n=None, size=None):
     Equivalent role to the reference's stable LSB radix sort over packed u64
     keys (ksort.h:132-183).  `keys[0]` is the most significant key.  If `n`
     is given, rows >= n are forced to the end (sorted as +inf keys).
+
+    Implemented as LSD rounds of 2-operand stable sorts: XLA TPU has a fast
+    path for <=3-operand sorts but degrades to a very slow variadic
+    comparator sort beyond that (measured ~300x at 33M rows).
     """
     ks = [jnp.asarray(k) for k in keys]
     m = ks[0].shape[0]
@@ -32,8 +36,12 @@ def argsort_multi(keys, n=None, size=None):
         ks = [jnp.where(invalid, INT32_MAX, k.astype(jnp.int32)) for k in ks]
     else:
         ks = [k.astype(jnp.int32) for k in ks]
-    out = jax.lax.sort(tuple(ks) + (iota,), dimension=0, is_stable=True, num_keys=len(ks))
-    return out[-1]
+    perm = iota
+    for k in reversed(ks):
+        kk = k if perm is iota else k[perm]
+        p2 = jax.lax.sort((kk, iota), dimension=0, is_stable=True, num_keys=1)[1]
+        perm = p2 if perm is iota else perm[p2]
+    return perm
 
 
 def sort_rows_multi(cols, keys_idx, n=None):
@@ -90,8 +98,10 @@ def member_multi(hay_keys, hay_n, needle_keys, needle_n):
     keys = [jnp.concatenate([a, b]) for a, b in zip(h, q)]
     tag = jnp.concatenate([jnp.zeros(mh, jnp.int32), jnp.ones(mq, jnp.int32)])
     src = jnp.concatenate([jnp.full(mh, -1, jnp.int32), iq])
-    out = jax.lax.sort(tuple(keys) + (tag, src), dimension=0, is_stable=True, num_keys=nk + 1)
-    skeys, stag, ssrc = out[:nk], out[nk], out[nk + 1]
+    perm = argsort_multi(keys + [tag])
+    skeys = [k[perm] for k in keys]
+    stag = tag[perm]
+    ssrc = src[perm]
     # After the sort, within an equal-key run all hay rows (tag 0) precede
     # needle rows (tag 1).  A needle is present iff the running "last hay key"
     # equals its own key.  Compute via cummax over an encoded position of the
