@@ -83,23 +83,26 @@ class _MaHitsLoad(ctypes.Structure):
         ("n_lines", ctypes.c_int64),
         ("cap", ctypes.c_int64),
         ("names_bytes", ctypes.c_int64),
+        ("max_deg", ctypes.c_int64),
         ("colmat", ctypes.POINTER(ctypes.c_int32)),
         ("seq_len", ctypes.POINTER(ctypes.c_uint32)),
         ("names", ctypes.POINTER(ctypes.c_char)),
     ]
 
 
-def load_hits_native(fn, min_span, min_match, excl=None, bi_dir=True):
+def load_hits_native(fn, min_span, min_match, excl=None, bi_dir=True,
+                     min_iden=0.05):
     """One-shot: parse + filter + intern + mirror + exact radix sort +
     colmat assembly, all in C++ (reference hit.c:70-107).  Returns
-    (colmat (10, cap) int32, n_hits, SeqDict, n_lines)."""
+    (colmat (7, cap) int32, n_hits, SeqDict, n_lines, max_deg)."""
     from .build import get_lib
 
     lib = get_lib()
     lib.ma_paf_load_hits.restype = ctypes.POINTER(_MaHitsLoad)
     lib.ma_paf_load_hits.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                                      ctypes.c_int64, ctypes.c_char_p,
-                                     ctypes.c_int64, ctypes.c_int]
+                                     ctypes.c_int64, ctypes.c_int,
+                                     ctypes.c_double]
     lib.ma_hits_free.argtypes = [ctypes.POINTER(_MaHitsLoad)]
 
     if excl is not None and excl.n_seq:
@@ -107,14 +110,15 @@ def load_hits_native(fn, min_span, min_match, excl=None, bi_dir=True):
     else:
         blob = b""
     res = lib.ma_paf_load_hits(fn.encode(), min_span, min_match, blob,
-                               len(blob), 1 if bi_dir else 0)
+                               len(blob), 1 if bi_dir else 0,
+                               float(min_iden))
     if not res:
         raise FileNotFoundError(2, "could not open PAF file", fn)
     r = res.contents
     cap = int(r.cap)
     n = int(r.n_hits)
     ns = int(r.n_seq)
-    colmat = np.ctypeslib.as_array(r.colmat, shape=(10, cap)).copy()
+    colmat = np.ctypeslib.as_array(r.colmat, shape=(7, cap)).copy()
     names_blob = ctypes.string_at(r.names, int(r.names_bytes))
     names = names_blob.decode("latin-1").split("\0")[:ns]
     lens = np.ctypeslib.as_array(r.seq_len, shape=(ns,)).copy() if ns else np.zeros(0, np.uint32)
@@ -124,5 +128,6 @@ def load_hits_native(fn, min_span, min_match, excl=None, bi_dir=True):
         d.names.append(nm)
         d.lens.append(int(ln))
     n_lines = int(r.n_lines)
+    max_deg = int(r.max_deg)
     lib.ma_hits_free(res)
-    return colmat, n, d, n_lines
+    return colmat, n, d, n_lines, max_deg

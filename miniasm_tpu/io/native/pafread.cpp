@@ -262,23 +262,25 @@ void ma_paf_free(MaPafLoad* p) {
 
 // ---- one-shot loader: parse + filter + intern + mirror + exact radix
 // sort + SoA colmat assembly (reference hit.c:70-107 end to end).  The
-// colmat layout matches select/fused.py: rows [qid qs qe tid ts te ml bl
-// rev valid], padded to a power of two with qid sentinel = n_seq_cap+1.
+// colmat layout matches select/fused.py: rows [qid qs qe tid ts te flags]
+// with flags bit0=valid, bit1=rev, bit2=iden_ok (float32 identity test,
+// hit.c:127); cap padded to a 64K multiple with qid sentinel = n_seq_cap+1.
 
 extern "C" void ma_radix_argsort_u64(uint64_t*, int64_t*, int64_t);
 
 extern "C" {
 
 struct MaHitsLoad {
-    int64_t n_hits, n_seq, n_lines, cap, names_bytes;
-    int32_t* colmat;  // (10, cap) row-major
+    int64_t n_hits, n_seq, n_lines, cap, names_bytes, max_deg;
+    int32_t* colmat;  // (7, cap) row-major
     uint32_t* seq_len;
     char* names;
 };
 
 MaHitsLoad* ma_paf_load_hits(const char* fn, int64_t min_span,
                              int64_t min_match, const char* excl_names,
-                             int64_t excl_bytes, int bi_dir) {
+                             int64_t excl_bytes, int bi_dir,
+                             double min_iden) {
     MaPafLoad* raw = ma_paf_load(fn, min_span, min_match, excl_names, excl_bytes);
     if (!raw) return nullptr;
     int64_t n = raw->n_rec;
@@ -288,8 +290,8 @@ MaHitsLoad* ma_paf_load_hits(const char* fn, int64_t min_span,
     // random read per hit instead of ten
     struct Rec {
         int32_t qid, tid;
-        uint32_t qs, qe, ts, te, ml, bl;
-        uint32_t rev;
+        uint32_t qs, qe, ts, te;
+        uint32_t flags;
     };
     std::vector<Rec> recs;
     std::vector<uint64_t> keys;
@@ -297,25 +299,34 @@ MaHitsLoad* ma_paf_load_hits(const char* fn, int64_t min_span,
     recs.reserve(bi_dir ? 2 * n : n);
     keys.reserve(recs.capacity());
     src.reserve(recs.capacity());
+    float iden_f = static_cast<float>(min_iden);
     for (int64_t i = 0; i < n; ++i) {
+        uint32_t iden_ok = !(static_cast<float>(raw->ml[i]) <
+                             static_cast<float>(raw->bl[i]) * iden_f);
+        uint32_t flags = 1u | (static_cast<uint32_t>(raw->rev[i]) << 1) |
+                         (iden_ok << 2);
         keys.push_back(static_cast<uint64_t>(raw->qid[i]) << 32 | raw->qs[i]);
         src.push_back(static_cast<int64_t>(recs.size()));
         recs.push_back({raw->qid[i], raw->tid[i], raw->qs[i], raw->qe[i],
-                        raw->ts[i], raw->te[i], raw->ml[i], raw->bl[i],
-                        raw->rev[i]});
+                        raw->ts[i], raw->te[i], flags});
         if (bi_dir && raw->qid[i] != raw->tid[i]) {
             keys.push_back(static_cast<uint64_t>(raw->tid[i]) << 32 | raw->ts[i]);
             src.push_back(static_cast<int64_t>(recs.size()));
             recs.push_back({raw->tid[i], raw->qid[i], raw->ts[i], raw->te[i],
-                            raw->qs[i], raw->qe[i], raw->ml[i], raw->bl[i],
-                            raw->rev[i]});
+                            raw->qs[i], raw->qe[i], flags});
         }
     }
     int64_t m = static_cast<int64_t>(keys.size());
     ma_radix_argsort_u64(keys.data(), src.data(), m);
 
+    // bucketed cap: 64K multiples (pow2 below 4K) — must match
+    // select/fused.py _bucket so jit shapes agree across loader paths
     int64_t cap = 1;
-    while (cap < m) cap <<= 1;
+    if (m <= 4096) {
+        while (cap < m) cap <<= 1;
+    } else {
+        cap = (m + 65535) / 65536 * 65536;
+    }
     int64_t n_seq_cap = 1;
     while (n_seq_cap < raw->n_seq) n_seq_cap <<= 1;
 
@@ -324,8 +335,9 @@ MaHitsLoad* ma_paf_load_hits(const char* fn, int64_t min_span,
     out->n_seq = raw->n_seq;
     out->n_lines = raw->n_lines;
     out->cap = cap;
-    out->colmat = static_cast<int32_t*>(std::calloc(10 * cap, 4));
+    out->colmat = static_cast<int32_t*>(std::calloc(7 * cap, 4));
     int32_t* C = out->colmat;
+    int64_t max_deg = 0, run = 0;
     {
         int32_t* R0 = C;
         int32_t* R1 = C + cap;
@@ -334,9 +346,6 @@ MaHitsLoad* ma_paf_load_hits(const char* fn, int64_t min_span,
         int32_t* R4 = C + 4 * cap;
         int32_t* R5 = C + 5 * cap;
         int32_t* R6 = C + 6 * cap;
-        int32_t* R7 = C + 7 * cap;
-        int32_t* R8 = C + 8 * cap;
-        int32_t* R9 = C + 9 * cap;
         for (int64_t j = 0; j < m; ++j) {
             const Rec& r = recs[src[j]];  // one random read per hit
             R0[j] = r.qid;
@@ -345,12 +354,12 @@ MaHitsLoad* ma_paf_load_hits(const char* fn, int64_t min_span,
             R3[j] = r.tid;
             R4[j] = static_cast<int32_t>(r.ts);
             R5[j] = static_cast<int32_t>(r.te);
-            R6[j] = static_cast<int32_t>(r.ml);
-            R7[j] = static_cast<int32_t>(r.bl);
-            R8[j] = static_cast<int32_t>(r.rev);
-            R9[j] = 1;
+            R6[j] = static_cast<int32_t>(r.flags);
+            run = (j > 0 && R0[j] == R0[j - 1]) ? run + 1 : 1;
+            if (run > max_deg) max_deg = run;
         }
     }
+    out->max_deg = max_deg;
     for (int64_t j = m; j < cap; ++j)
         C[0 * cap + j] = static_cast<int32_t>(n_seq_cap + 1);
     out->seq_len = raw->seq_len;

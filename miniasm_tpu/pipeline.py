@@ -58,15 +58,16 @@ def run(paf_fn: str, opt: Opt, *, outfmt: str = "ug", fn_reads: str | None = Non
     fast_ug = (not no_first and not no_second and stage >= 5
                and outfmt in ("ug", "sg"))
     colmat = None
+    max_deg = None
     if fast_ug:
         try:
             from .io.native import available
             from .io.native.pafload import load_hits_native
 
             if available():
-                colmat, n_hits, d, n_lines = load_hits_native(
+                colmat, n_hits, d, n_lines, max_deg = load_hits_native(
                     paf_fn, opt.min_span, opt.min_match, excl=excl,
-                    bi_dir=bi_dir)
+                    bi_dir=bi_dir, min_iden=float(opt.min_iden))
                 log("hit_read", "read %d hits; stored %d hits and %d sequences (%d bp)",
                     n_lines, n_hits, d.n_seq,
                     int(np.sum(d.lens_array(), dtype=np.uint64)))

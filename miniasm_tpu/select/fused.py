@@ -8,10 +8,10 @@ is preserved, so the result is exactly the reference's compacted array
 filtered at the end).
 
 TPU performance notes (measured on v5e):
-  - XLA's general multi-operand sort is O(n log^2 n) bitonic and falls off
-    a cliff at tens of millions of rows; the coverage sweep therefore uses
-    the row-wise formulation (hit_sub_rows) with only gathers, small
-    row-sorts and row-cumsums;
+  - the coverage sweep uses the flat segmented formulation (hit_sub_flat):
+    one 2-key lax.sort over the 2N events + flat scans; padded per-query
+    row matrices lose to it because their construction gather is the
+    dominant cost at TPU gather throughput;
   - compaction uses nonzero+gather, not a sort;
   - arcs are filtered down to live reads ON DEVICE before download (at high
     coverage most arcs touch contained reads and would be dropped by the
@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.hit2arc import hit2arc, MA_HT_QCONT, MA_HT_TCONT
-from .subregion import hit_sub_rows
+from .subregion import hit_sub_flat
 from .cut import hit_cut
 
 
@@ -42,19 +42,22 @@ def _next_pow2(x: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_seq_cap", "k_cap", "min_span", "min_dp", "min_iden", "max_hang",
-    "int_frac", "min_ovlp", "do_flt", "emit_arcs"))
-def _select_kernel(colmat, n_seq, *, n_seq_cap, k_cap, min_span, min_dp,
-                   min_iden, max_hang, int_frac, min_ovlp, do_flt,
-                   emit_arcs=False):
-    """colmat: (10, N) int32 [qid qs qe tid ts te ml bl rev valid]; qid of
-    padding rows must be >= n_seq_cap (sorted sentinel)."""
-    qid, qs, qe, tid, ts, te, ml, bl, rev, valid = [colmat[i] for i in range(10)]
-    valid = valid.astype(bool)
+    "n_seq_cap", "min_span", "min_dp", "max_hang",
+    "int_frac", "min_ovlp", "do_flt", "emit_arcs", "arc_cap"))
+def _select_kernel(colmat, *, n_seq_cap, min_span, min_dp,
+                   max_hang, int_frac, min_ovlp, do_flt,
+                   emit_arcs=False, arc_cap=0):
+    """colmat: (7, N) int32 [qid qs qe tid ts te flags]; flags bit0=valid,
+    bit1=rev, bit2=iden_ok (precomputed ml >= bl*min_iden, hit.c:127); qid
+    of padding rows must be >= n_seq_cap (sorted sentinel)."""
+    qid, qs, qe, tid, ts, te, flags = [colmat[i] for i in range(7)]
+    valid = (flags & 1).astype(bool)
+    rev = (flags >> 1) & 1
+    iden_ok = ((flags >> 2) & 1).astype(bool)
 
     # --- Step 2: crude selection, end_clip = 0 (main.c:122) ---
-    s1, e1, d1 = hit_sub_rows(qid, tid, qs, qe, ml, bl, valid,
-                              n_seq_cap + 1, k_cap, min_dp, min_iden, 0)
+    s1, e1, d1 = hit_sub_flat(qid, tid, qs, qe, iden_ok, valid,
+                              n_seq_cap + 1, min_dp, 0)
     keep, qs, qe, ts, te = hit_cut(qid, tid, qs, qe, ts, te, rev,
                                    s1, e1, d1, min_span)
     valid = valid & keep
@@ -76,9 +79,8 @@ def _select_kernel(colmat, n_seq, *, n_seq_cap, k_cap, min_span, min_dp,
     n_flt = jnp.sum(valid)
 
     # --- Step 3: fine selection, end_clip = min_span/2 (main.c:132) ---
-    s2, e2, d2 = hit_sub_rows(qid, tid, qs, qe, ml, bl, valid,
-                              n_seq_cap + 1, k_cap, min_dp, min_iden,
-                              min_span // 2)
+    s2, e2, d2 = hit_sub_flat(qid, tid, qs, qe, iden_ok, valid,
+                              n_seq_cap + 1, min_dp, min_span // 2)
     keep, qs, qe, ts, te = hit_cut(qid, tid, qs, qe, ts, te, rev,
                                    s2, e2, d2, min_span)
     valid = valid & keep
@@ -98,15 +100,16 @@ def _select_kernel(colmat, n_seq, *, n_seq_cap, k_cap, min_span, min_dp,
     cont = cont.at[jnp.where(r == MA_HT_QCONT, qid, n_seq_cap + 1)].set(True)
     cont = cont.at[jnp.where(r == MA_HT_TCONT, tid, n_seq_cap + 1)].set(True)
 
-    counts = jnp.stack([n_cut1, n_flt, n_cut2,
-                        dp_sum.astype(jnp.int32)])  # dp_sum: log-only, approx
-    subtab = jnp.stack([ms.astype(jnp.int32), me.astype(jnp.int32),
-                        mdel.astype(jnp.int32), cont[:-1].astype(jnp.int32)])
-
     if not emit_arcs:
-        out = jnp.stack([qid, qs.astype(jnp.int32), qe.astype(jnp.int32),
-                         tid, ts.astype(jnp.int32), te.astype(jnp.int32),
-                         ml, bl, rev, valid.astype(jnp.int32)])
+        counts = jnp.stack([n_cut1, n_flt, n_cut2,
+                            dp_sum.astype(jnp.int32)])  # dp_sum: log-only
+        subtab = jnp.stack([ms.astype(jnp.int32), me.astype(jnp.int32),
+                            mdel.astype(jnp.int32), cont[:-1].astype(jnp.int32)])
+        # bed/paf path: only coordinates + validity change; qid/tid/ml/bl/
+        # rev are re-attached host-side from the caller's copy
+        out = jnp.stack([qs.astype(jnp.int32), qe.astype(jnp.int32),
+                         ts.astype(jnp.int32), te.astype(jnp.int32),
+                         valid.astype(jnp.int32)])
         return out, subtab, counts
 
     # --- graph-build outputs (ma_sg_gen, asm.c:9-39), staying on device ---
@@ -130,28 +133,50 @@ def _select_kernel(colmat, n_seq, *, n_seq_cap, k_cap, min_span, min_dp,
                 & read_alive[jnp.minimum(qid, n_seq_cap)]
                 & read_alive[jnp.minimum(tid, n_seq_cap)])
     # stable compaction via nonzero+gather (order-preserving, sort-free)
+    # into a statically-capped buffer: everything the host needs comes back
+    # in ONE device_get (transfer round-trips dominate at this scale)
     n = qid.shape[0]
-    idx = jnp.nonzero(arc_rows, size=n, fill_value=n - 1)[0]
-    arcmat = jnp.stack([c["u"][idx], c["l"][idx], c["v"][idx], c["ol"][idx]])
     n_arc = jnp.sum(arc_rows)
-    aux = jnp.stack([used[:-1].astype(jnp.int32), pal[:-1].astype(jnp.int32)])
-    return arcmat, n_arc, aux, subtab, counts
+    idx = jnp.nonzero(arc_rows, size=arc_cap, fill_value=n - 1)[0]
+    arcmat = jnp.stack([c["u"][idx], c["l"][idx], c["v"][idx], c["ol"][idx]])
+    meta = jnp.stack([ms.astype(jnp.int32), me.astype(jnp.int32),
+                      mdel.astype(jnp.int32), cont[:-1].astype(jnp.int32),
+                      used[:-1].astype(jnp.int32), pal[:-1].astype(jnp.int32)])
+    counts = jnp.stack([n_cut1, n_flt, n_cut2, dp_sum.astype(jnp.int32),
+                        n_arc])  # dp_sum: log-only, approx
+    return arcmat, meta, counts
 
 
-def _upload(hits, n_seq, n_seq_cap):
+def _bucket(n: int) -> int:
+    """Pad row counts to a 64K multiple: bounded jit-shape churn (the
+    persistent compile cache absorbs it) with <=5% upload overhead, vs the
+    up-to-2x overhead of power-of-two padding."""
+    step = 65536
+    if n <= 4096:
+        return _next_pow2(max(n, 1))
+    return ((n + step - 1) // step) * step
+
+
+def pack_flags(ml, bl, rev, valid, min_iden: float):
+    """flags column: bit0 valid, bit1 rev, bit2 iden_ok.  The identity test
+    is float32 like the reference's float ma_opt_t.min_iden (hit.c:127)."""
+    iden_ok = ~(np.asarray(ml).astype(np.float32)
+                < np.asarray(bl).astype(np.float32) * np.float32(min_iden))
+    return (np.asarray(valid).astype(np.int32)
+            | (np.asarray(rev).astype(np.int32) << 1)
+            | (iden_ok.astype(np.int32) << 2))
+
+
+def _upload(hits, n_seq_cap, min_iden):
     n = hits.n
-    cap = _next_pow2(max(n, 1))
-    colmat = np.zeros((10, cap), dtype=np.int32)
-    for i, c in enumerate(hits.cols()):
+    cap = _bucket(n)
+    colmat = np.zeros((7, cap), dtype=np.int32)
+    cols = list(hits.cols())  # qid qs qe tid ts te ml bl rev
+    for i, c in enumerate(cols[:6]):
         colmat[i, :n] = np.asarray(c).astype(np.int32, copy=False)
+    colmat[6, :n] = pack_flags(cols[6], cols[7], cols[8], 1, min_iden)
     colmat[0, n:] = n_seq_cap + 1  # sorted sentinel for padding rows
-    colmat[9, :n] = 1
     return jnp.asarray(colmat)
-
-
-def _k_cap(hits, n_seq) -> int:
-    deg = np.bincount(np.asarray(hits.qid), minlength=max(n_seq, 1))
-    return _next_pow2(max(int(deg.max()) if len(deg) else 1, 16))
 
 
 def select_build(hits, d, opt):
@@ -160,38 +185,43 @@ def select_build(hits, d, opt):
     (arcs dict, used, pal, sub_s, sub_e, sub_del, cont, counts)."""
     n_seq = d.n_seq
     n_seq_cap = _next_pow2(max(n_seq, 1))
-    dev = _upload(hits, n_seq, n_seq_cap)
-    return _select_build_dev(dev, _k_cap(hits, n_seq), n_seq, n_seq_cap, opt)
+    dev = _upload(hits, n_seq_cap, float(opt.min_iden))
+    return _select_build_dev(dev, n_seq, n_seq_cap, opt)
 
 
 def select_build_colmat(colmat, n_hits: int, d, opt):
-    """select_build over a pre-assembled colmat (native one-shot loader)."""
+    """select_build over a pre-assembled (7, cap) colmat (native one-shot
+    loader, which also packs the flags column)."""
     n_seq = d.n_seq
     n_seq_cap = _next_pow2(max(n_seq, 1))
-    deg = np.bincount(colmat[0, :n_hits], minlength=max(n_seq, 1))
-    k_cap = _next_pow2(max(int(deg.max()) if len(deg) else 1, 16))
-    return _select_build_dev(jnp.asarray(colmat), k_cap, n_seq, n_seq_cap, opt)
+    return _select_build_dev(jnp.asarray(colmat), n_seq, n_seq_cap, opt)
 
 
-def _select_build_dev(dev, k_cap, n_seq, n_seq_cap, opt):
-    arcmat, n_arc, aux, subtab, counts = _select_kernel(
-        dev, n_seq,
-        n_seq_cap=n_seq_cap, k_cap=k_cap,
-        min_span=opt.min_span, min_dp=opt.min_dp,
-        min_iden=float(opt.min_iden), max_hang=opt.max_hang,
-        int_frac=float(opt.int_frac), min_ovlp=opt.min_ovlp, do_flt=True,
-        emit_arcs=True)
-    n_arc = int(n_arc)
-    arcs = np.asarray(arcmat[:, :n_arc])  # device slice -> small download
-    aux = np.asarray(aux)[:, :n_seq]
-    subtab = np.asarray(subtab)[:, :n_seq]
-    counts = [int(x) for x in np.asarray(counts)]
+def _select_build_dev(dev, n_seq, n_seq_cap, opt):
+    cap = dev.shape[1]
+    arc_cap = min(_next_pow2(max(65536, 4 * n_seq_cap)), _next_pow2(cap))
+    while True:
+        arcmat, meta, counts = _select_kernel(
+            dev, n_seq_cap=n_seq_cap,
+            min_span=opt.min_span, min_dp=opt.min_dp,
+            max_hang=opt.max_hang, int_frac=float(opt.int_frac),
+            min_ovlp=opt.min_ovlp, do_flt=True,
+            emit_arcs=True, arc_cap=arc_cap)
+        # ONE transfer for everything (round-trips dominate wall-clock)
+        arcmat, meta, counts = jax.device_get((arcmat, meta, counts))
+        n_arc = int(counts[4])
+        if n_arc <= arc_cap:
+            break
+        arc_cap = _next_pow2(n_arc)  # rare: redo with a bigger static cap
+    arcs = arcmat[:, :n_arc]
+    meta = meta[:, :n_seq]
+    counts = [int(x) for x in counts[:4]]
     return (
         {"u": arcs[0].astype(np.int32), "l": arcs[1].astype(np.int32),
          "v": arcs[2].astype(np.int32), "ol": arcs[3].astype(np.int32)},
-        aux[0].astype(bool), aux[1].astype(bool),
-        subtab[0].astype(np.uint32), subtab[1].astype(np.uint32),
-        subtab[2].astype(bool), subtab[3].astype(bool), counts)
+        meta[4].astype(bool), meta[5].astype(bool),
+        meta[0].astype(np.uint32), meta[1].astype(np.uint32),
+        meta[2].astype(bool), meta[3].astype(bool), counts)
 
 
 def select_fused(hits, d, opt, *, do_flt=True):
@@ -203,24 +233,28 @@ def select_fused(hits, d, opt, *, do_flt=True):
     n = hits.n
     n_seq = d.n_seq
     n_seq_cap = _next_pow2(max(n_seq, 1))
-    dev = _upload(hits, n_seq, n_seq_cap)
+    dev = _upload(hits, n_seq_cap, float(opt.min_iden))
     out, subtab, counts = _select_kernel(
-        dev, n_seq,
-        n_seq_cap=n_seq_cap, k_cap=_k_cap(hits, n_seq),
+        dev, n_seq_cap=n_seq_cap,
         min_span=opt.min_span, min_dp=opt.min_dp,
-        min_iden=float(opt.min_iden), max_hang=opt.max_hang,
-        int_frac=float(opt.int_frac), min_ovlp=opt.min_ovlp, do_flt=do_flt)
-    out = np.asarray(out)
-    subtab = np.asarray(subtab)[:, :n_seq]
-    counts = [int(x) for x in np.asarray(counts)]
+        max_hang=opt.max_hang, int_frac=float(opt.int_frac),
+        min_ovlp=opt.min_ovlp, do_flt=do_flt)
+    out, subtab, counts = jax.device_get((out, subtab, counts))
+    subtab = subtab[:, :n_seq]
+    counts = [int(x) for x in counts]
 
-    valid = out[9].astype(bool)
-    kept = Hits(out[0][valid].astype(np.int32),
-                out[1][valid].astype(np.uint32), out[2][valid].astype(np.uint32),
-                out[3][valid].astype(np.int32),
-                out[4][valid].astype(np.uint32), out[5][valid].astype(np.uint32),
-                out[6][valid].astype(np.uint32), out[7][valid].astype(np.uint32),
-                out[8][valid].astype(np.uint8))
+    # re-attach the untouched columns from the host copy (the kernel only
+    # changes coordinates + validity)
+    valid = out[4, :n].astype(bool)
+    kept = Hits(np.asarray(hits.qid)[valid].astype(np.int32),
+                out[0, :n][valid].astype(np.uint32),
+                out[1, :n][valid].astype(np.uint32),
+                np.asarray(hits.tid)[valid].astype(np.int32),
+                out[2, :n][valid].astype(np.uint32),
+                out[3, :n][valid].astype(np.uint32),
+                np.asarray(hits.ml)[valid].astype(np.uint32),
+                np.asarray(hits.bl)[valid].astype(np.uint32),
+                np.asarray(hits.rev)[valid].astype(np.uint8))
     sub_s = subtab[0].astype(np.uint32)
     sub_e = subtab[1].astype(np.uint32)
     sub_del = subtab[2].astype(bool)

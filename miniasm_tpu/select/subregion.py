@@ -121,8 +121,91 @@ def n_seg_arg(n_seq: int) -> int:
     return n_seq + 1
 
 
-def hit_sub_rows(qid, tid, qs, qe, ml, bl, valid, n_seq_cap: int, k_cap: int,
-                 min_dp: int, min_iden: float, end_clip: int):
+def hit_sub_flat(qid, tid, qs, qe, iden_ok, valid, n_tab: int,
+                 min_dp: int, end_clip: int):
+    """Flat segmented formulation of the coverage sweep (ma_hit_sub,
+    hit.c:109-160), exactly equivalent to hit_sub_rows but without the
+    padded per-query event matrix: one 2-key `lax.sort` over the 2N flat
+    events plus flat scans/gathers.  Measured ~2x faster than the row
+    formulation on TPU (the row gather is the row version's hot spot).
+
+    Correctness of the leak-free trick: `last_start` is a global cummax of
+    *indices* (monotone), so it is the most recent start-transition
+    anywhere; every end-transition is preceded by a start-transition in its
+    OWN segment (depth starts at 0 < min_dp per segment), hence the global
+    most recent start IS the segment-local one wherever it is consumed.
+
+    `iden_ok` is the precomputed bit ml >= bl*min_iden (hit.c:127).
+    Returns (sub_s u32, sub_e u32, sub_del bool) of length n_tab.
+    """
+    i32 = jnp.int32
+    BIG = jnp.int32(2**31 - 1)
+    qid = jnp.asarray(qid).astype(i32)
+    tid = jnp.asarray(tid).astype(i32)
+    qs = jnp.asarray(qs).astype(i32)
+    qe = jnp.asarray(qe).astype(i32)
+    valid = jnp.asarray(valid)
+    n = qid.shape[0]
+
+    # event pair per hit (hit.c:123-131); invalid events sort to a trailing
+    # dummy segment via (seg=n_tab, key=BIG)
+    ev_ok = valid & (tid != qid) & jnp.asarray(iden_ok)
+    evs = qs + end_clip
+    eve = qe - end_clip
+    ev_ok = ev_ok & (eve > evs)
+    seg = jnp.where(ev_ok, qid, n_tab)
+    k1 = jnp.concatenate([seg, seg])
+    k2 = jnp.concatenate([jnp.where(ev_ok, evs * 2, BIG),
+                          jnp.where(ev_ok, eve * 2 + 1, BIG)])
+    k1, k2 = jax.lax.sort([k1, k2], num_keys=2)
+
+    valid_ev = k2 != BIG
+    is_end = (k2 & 1) == 1
+    delta = jnp.where(valid_ev, jnp.where(is_end, -1, 1), 0).astype(i32)
+    cum = jnp.cumsum(delta)
+    segc = jnp.minimum(k1, n_tab)
+    # depth restarts per segment: subtract the running total just before
+    # the segment's first event (gathered from a small per-segment table)
+    seg_start = jnp.searchsorted(k1, jnp.arange(n_tab + 1, dtype=i32),
+                                 side="left").astype(i32)
+    base_tab = (cum - delta)[jnp.minimum(seg_start, 2 * n - 1)]
+    depth = cum - base_tab[segc]
+    old_depth = depth - delta
+
+    is_start_tr = valid_ev & (old_depth < min_dp) & (depth >= min_dp)
+    is_end_tr = valid_ev & (old_depth >= min_dp) & (depth < min_dp)
+
+    idx = jnp.arange(2 * n, dtype=i32)
+    last_start = jax.lax.cummax(jnp.where(is_start_tr, idx, -1))
+    pos = k2 >> 1
+    start_pos = pos[jnp.maximum(last_start, 0)]
+    length = jnp.where(is_end_tr & (last_start >= 0), pos - start_pos, -1)
+
+    # longest region per query, first-wins ties (hit.c:142)
+    best_len = jax.ops.segment_max(length, segc, num_segments=n_tab + 1,
+                                   indices_are_sorted=True)
+    cand = is_end_tr & (length == best_len[segc]) & (best_len[segc] > 0)
+    first_idx = jax.ops.segment_min(jnp.where(cand, idx, BIG), segc,
+                                    num_segments=n_tab + 1,
+                                    indices_are_sorted=True)[:n_tab]
+    has = first_idx < BIG
+    gi = jnp.minimum(first_idx, 2 * n - 1)
+    reg_e = pos[gi]
+    reg_s = start_pos[gi]
+
+    # reads with >=1 (valid) hit as query (hit.c:117)
+    has_query = jnp.zeros(n_tab + 1, dtype=bool).at[
+        jnp.where(valid, jnp.minimum(qid, n_tab), n_tab)].set(True)[:n_tab]
+
+    best = has & has_query
+    sub_s = jnp.where(best, reg_s - end_clip, 0).astype(jnp.uint32)
+    sub_e = jnp.where(best, reg_e + end_clip, 0).astype(jnp.uint32)
+    sub_del = has_query & ~best
+    return sub_s, sub_e, sub_del
+
+
+def hit_sub_rows(qid, tid, qs, qe, iden_ok, valid, n_seq_cap: int, k_cap: int,
+                 min_dp: int, end_clip: int):
     """Row-wise formulation of the coverage sweep, exactly equivalent to
     hit_sub but O(n) on TPU: hits are already sorted by (qid, qs) (the
     host's exact radix), so each query's hits form a contiguous run.  We
@@ -132,21 +215,22 @@ def hit_sub_rows(qid, tid, qs, qe, ml, bl, valid, n_seq_cap: int, k_cap: int,
 
     qid must be ascending with padding rows set to >= n_seq_cap; `valid`
     masks dead rows (their qid still sits in sorted position).  k_cap must
-    be >= the max number of hits of any query.
+    be >= the max number of hits of any query.  `iden_ok` is the
+    precomputed identity-filter bit ml >= bl*min_iden (hit.c:127) — it
+    depends only on load-time columns, so it is packed host-side and the
+    ml/bl columns never reach the device.
     """
     i32 = jnp.int32
     qid = jnp.asarray(qid).astype(i32)
     tid = jnp.asarray(tid).astype(i32)
     qs = jnp.asarray(qs).astype(i32)
     qe = jnp.asarray(qe).astype(i32)
-    mlf = jnp.asarray(ml).astype(jnp.float32)
-    blf = jnp.asarray(bl).astype(jnp.float32)
     valid = jnp.asarray(valid)
     n = qid.shape[0]
     BIG = jnp.int32(2**31 - 1)
 
     # per-hit event pair (hit.c:123-131)
-    ev_ok = valid & (tid != qid) & ~(mlf < blf * jnp.float32(min_iden))
+    ev_ok = valid & (tid != qid) & jnp.asarray(iden_ok)
     evs = qs + end_clip
     eve = qe - end_clip
     ev_ok = ev_ok & (eve > evs)
