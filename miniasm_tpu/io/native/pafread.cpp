@@ -379,4 +379,116 @@ void ma_hits_free(MaHitsLoad* p) {
     delete p;
 }
 
+// ---- staged variant: parse + exact-permutation sort up front, then the
+// caller pulls (a) the UNMIRRORED original columns and (b) the sorted
+// mirror-permutation, in blocks.  The device reconstructs the mirrored,
+// exact-radix-ordered hit array with one gather (select/fused.py
+// mirror_gather) — uploading originals + permutation moves ~25% fewer
+// bytes over the (bandwidth-starved) tunnel than the materialized mirror,
+// and skips the host-side 28-byte-record staging entirely.
+
+struct MaHitsStage {
+    int64_t n_hits, n_orig, n_seq, n_lines, names_bytes, max_deg, n_seq_cap;
+    uint32_t* seq_len;
+    char* names;
+    void* raw;      // MaPafLoad (kept alive for chunk fills)
+    void* srcvec;   // std::vector<int32_t>: (orig_i << 1) | is_mirror
+    uint32_t* flags;  // per original record
+};
+
+MaHitsStage* ma_paf_load_hits_begin(const char* fn, int64_t min_span,
+                                    int64_t min_match,
+                                    const char* excl_names,
+                                    int64_t excl_bytes, int bi_dir,
+                                    double min_iden) {
+    MaPafLoad* raw = ma_paf_load(fn, min_span, min_match, excl_names, excl_bytes);
+    if (!raw) return nullptr;
+    int64_t n = raw->n_rec;
+
+    std::vector<uint64_t> keys;
+    auto* src = new std::vector<int64_t>();
+    keys.reserve(bi_dir ? 2 * n : n);
+    src->reserve(keys.capacity());
+    uint32_t* flags = static_cast<uint32_t*>(std::malloc(n * 4 + 4));
+    float iden_f = static_cast<float>(min_iden);
+    for (int64_t i = 0; i < n; ++i) {
+        uint32_t iden_ok = !(static_cast<float>(raw->ml[i]) <
+                             static_cast<float>(raw->bl[i]) * iden_f);
+        flags[i] = 1u | (static_cast<uint32_t>(raw->rev[i]) << 1) |
+                   (iden_ok << 2);
+        keys.push_back(static_cast<uint64_t>(raw->qid[i]) << 32 | raw->qs[i]);
+        src->push_back(i << 1);
+        if (bi_dir && raw->qid[i] != raw->tid[i]) {
+            keys.push_back(static_cast<uint64_t>(raw->tid[i]) << 32 | raw->ts[i]);
+            src->push_back((i << 1) | 1);
+        }
+    }
+    int64_t m = static_cast<int64_t>(keys.size());
+    ma_radix_argsort_u64(keys.data(), src->data(), m);
+
+    int64_t max_deg = 0, run = 0;
+    for (int64_t j = 0; j < m; ++j) {
+        run = (j > 0 && (keys[j] >> 32) == (keys[j - 1] >> 32)) ? run + 1 : 1;
+        if (run > max_deg) max_deg = run;
+    }
+    int64_t n_seq_cap = 1;
+    while (n_seq_cap < raw->n_seq) n_seq_cap <<= 1;
+
+    auto* st = new MaHitsStage();
+    st->n_hits = m;
+    st->n_orig = n;
+    st->n_seq = raw->n_seq;
+    st->n_lines = raw->n_lines;
+    st->max_deg = max_deg;
+    st->n_seq_cap = n_seq_cap;
+    st->seq_len = raw->seq_len;
+    raw->seq_len = nullptr;
+    st->names = raw->names;
+    st->names_bytes = raw->names_bytes;
+    raw->names = nullptr;
+    st->raw = raw;
+    st->srcvec = src;
+    st->flags = flags;
+    return st;
+}
+
+// kind 0: (7, jlen) block of ORIGINAL columns [qid qs qe tid ts te flags]
+// kind 1: (jlen,) block of the sorted permutation (orig_i<<1 | mirror),
+//         -1 beyond n_hits
+void ma_hits_fill_chunk(MaHitsStage* st, int64_t kind, int64_t j0,
+                        int64_t jlen, int32_t* out) {
+    auto* raw = static_cast<MaPafLoad*>(st->raw);
+    if (kind == 1) {
+        auto* src = static_cast<std::vector<int64_t>*>(st->srcvec);
+        int64_t m = st->n_hits;
+        for (int64_t j = j0; j < j0 + jlen; ++j)
+            out[j - j0] = j < m ? static_cast<int32_t>((*src)[j]) : -1;
+        return;
+    }
+    int64_t n = st->n_orig;
+    int64_t hi = j0 + jlen < n ? j0 + jlen : n;
+    int64_t cnt = hi > j0 ? hi - j0 : 0;
+    auto cp = [&](int32_t* dst, const void* s4) {
+        if (cnt) std::memcpy(dst, static_cast<const char*>(s4) + 4 * j0, 4 * cnt);
+        if (cnt < jlen) std::memset(dst + cnt, 0, 4 * (jlen - cnt));
+    };
+    cp(out + 0 * jlen, raw->qid);
+    cp(out + 1 * jlen, raw->qs);
+    cp(out + 2 * jlen, raw->qe);
+    cp(out + 3 * jlen, raw->tid);
+    cp(out + 4 * jlen, raw->ts);
+    cp(out + 5 * jlen, raw->te);
+    cp(out + 6 * jlen, st->flags);
+}
+
+void ma_hits_stage_free(MaHitsStage* st) {
+    if (!st) return;
+    ma_paf_free(static_cast<MaPafLoad*>(st->raw));
+    delete static_cast<std::vector<int64_t>*>(st->srcvec);
+    std::free(st->flags);
+    std::free(st->seq_len);
+    std::free(st->names);
+    delete st;
+}
+
 }  // extern "C"

@@ -62,12 +62,13 @@ def run(paf_fn: str, opt: Opt, *, outfmt: str = "ug", fn_reads: str | None = Non
     if fast_ug:
         try:
             from .io.native import available
-            from .io.native.pafload import load_hits_native
+            from .io.native.pafload import load_hits_native_dev
 
             if available():
-                colmat, n_hits, d, n_lines, max_deg = load_hits_native(
-                    paf_fn, opt.min_span, opt.min_match, excl=excl,
-                    bi_dir=bi_dir, min_iden=float(opt.min_iden))
+                colmat, perm_dev, n_hits, d, n_lines, max_deg = \
+                    load_hits_native_dev(
+                        paf_fn, opt.min_span, opt.min_match, excl=excl,
+                        bi_dir=bi_dir, min_iden=float(opt.min_iden))
                 log("hit_read", "read %d hits; stored %d hits and %d sequences (%d bp)",
                     n_lines, n_hits, d.n_seq,
                     int(np.sum(d.lens_array(), dtype=np.uint64)))
@@ -83,12 +84,12 @@ def run(paf_fn: str, opt: Opt, *, outfmt: str = "ug", fn_reads: str | None = Non
         # fully device-resident: selection + arc classification in one
         # kernel; only arc columns and per-read masks come back
         sys.stderr.write("[M::main] ===> Steps 2-3: fused read selection <===\n")
-        from .select.fused import select_build, select_build_colmat
+        from .select.fused import select_build, select_build_staged
         from .graph.asg import graph_from_arcs
 
         if colmat is not None:
             arcs, used, pal, sub_s, sub_e, sub_del, cont, counts = \
-                select_build_colmat(colmat, n_hits, d, opt)
+                select_build_staged(colmat, perm_dev, d, opt)
         else:
             arcs, used, pal, sub_s, sub_e, sub_del, cont, counts = \
                 select_build(hits, d, opt)

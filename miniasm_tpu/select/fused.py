@@ -197,6 +197,42 @@ def select_build_colmat(colmat, n_hits: int, d, opt):
     return _select_build_dev(jnp.asarray(colmat), n_seq, n_seq_cap, opt)
 
 
+@functools.partial(jax.jit, static_argnames=("n_seq_cap", "cap"))
+def mirror_gather(orig, perm, *, n_seq_cap, cap):
+    """Reconstruct the mirrored, exact-radix-ordered hit colmat on device
+    from the UNMIRRORED original columns and the sorted permutation
+    (orig_i<<1 | is_mirror, -1 = padding).  The mirror swaps query/target
+    (hit.c:92-98); rev/iden flags are shared.  One HBM gather replaces
+    ~25% of the tunnel upload."""
+    perm = perm[:cap]
+    i = jnp.maximum(perm >> 1, 0)
+    m = (perm & 1).astype(bool)
+    ok = perm >= 0
+    qid_o, qs_o, qe_o, tid_o, ts_o, te_o, fl_o = [orig[k][i] for k in range(7)]
+
+    def pick(a, b):
+        return jnp.where(m, b, a)
+
+    qid = jnp.where(ok, pick(qid_o, tid_o), n_seq_cap + 1)
+    qs = jnp.where(ok, pick(qs_o, ts_o), 0)
+    qe = jnp.where(ok, pick(qe_o, te_o), 0)
+    tid = jnp.where(ok, pick(tid_o, qid_o), 0)
+    ts = jnp.where(ok, pick(ts_o, qs_o), 0)
+    te = jnp.where(ok, pick(te_o, qe_o), 0)
+    fl = jnp.where(ok, fl_o, 0)
+    return jnp.stack([qid, qs, qe, tid, ts, te, fl])
+
+
+def select_build_staged(orig_dev, perm_dev, d, opt):
+    """select_build over the staged loader's (originals, permutation)
+    device pair."""
+    n_seq = d.n_seq
+    n_seq_cap = _next_pow2(max(n_seq, 1))
+    dev = mirror_gather(orig_dev, perm_dev, n_seq_cap=n_seq_cap,
+                        cap=perm_dev.shape[0])
+    return _select_build_dev(dev, n_seq, n_seq_cap, opt)
+
+
 def _select_build_dev(dev, n_seq, n_seq_cap, opt):
     cap = dev.shape[1]
     arc_cap = min(_next_pow2(max(65536, 4 * n_seq_cap)), _next_pow2(cap))
