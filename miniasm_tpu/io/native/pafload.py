@@ -147,6 +147,8 @@ class _MaHitsStage(ctypes.Structure):
         ("raw", ctypes.c_void_p),
         ("srcvec", ctypes.c_void_p),
         ("flags", ctypes.POINTER(ctypes.c_uint32)),
+        ("bi_dir", ctypes.c_int64),
+        ("packable", ctypes.c_int64),
     ]
 
 
@@ -178,6 +180,7 @@ def load_hits_native_dev(fn, min_span, min_match, excl=None, bi_dir=True,
                                        ctypes.c_int64, ctypes.c_int64,
                                        ctypes.c_int64,
                                        ctypes.POINTER(ctypes.c_int32)]
+    lib.ma_hits_sort.argtypes = [ctypes.POINTER(_MaHitsStage)]
     lib.ma_hits_stage_free.argtypes = [ctypes.POINTER(_MaHitsStage)]
 
     if excl is not None and excl.n_seq:
@@ -198,11 +201,11 @@ def load_hits_native_dev(fn, min_span, min_match, excl=None, bi_dir=True,
     ocap = _bucket(max(n_orig, 1))
     cap = _bucket(max(n, 1))
 
-    def pull(kind, total, rows):
+    def pull(kind, total, rows, dtype=np.int32):
         chunks = []
         for j0 in range(0, total, _CHUNK):
             jlen = min(_CHUNK, total - j0)
-            buf = np.empty((rows, jlen) if rows > 1 else (jlen,), dtype=np.int32)
+            buf = np.empty((rows, jlen) if rows > 1 else (jlen,), dtype=dtype)
             lib.ma_hits_fill_chunk(
                 res, kind, j0, jlen,
                 buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
@@ -211,7 +214,16 @@ def load_hits_native_dev(fn, min_span, min_match, excl=None, bi_dir=True,
             return chunks[0]
         return jnp.concatenate(chunks, axis=-1)
 
-    orig_dev = pull(0, ocap, 7)
+    # upload the originals first (they do not depend on the sort), then run
+    # the CPU-bound exact sort while those blocks stream over the tunnel on
+    # the transfer thread, then upload the permutation.  When every
+    # id/coordinate fits 24 bits (checked in C++), the originals go as
+    # 3-byte planes + 1 flags byte — 19 B/hit instead of 28 B.
+    if int(r.packable):
+        orig_dev = pull(2, ocap, 19, dtype=np.uint8)
+    else:
+        orig_dev = pull(0, ocap, 7)
+    lib.ma_hits_sort(res)
     perm_dev = pull(1, cap, 1)
 
     names_blob = ctypes.string_at(r.names, int(r.names_bytes))

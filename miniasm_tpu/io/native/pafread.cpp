@@ -392,8 +392,10 @@ struct MaHitsStage {
     uint32_t* seq_len;
     char* names;
     void* raw;      // MaPafLoad (kept alive for chunk fills)
-    void* srcvec;   // std::vector<int32_t>: (orig_i << 1) | is_mirror
+    void* srcvec;   // std::vector<int64_t>: (orig_i << 1) | is_mirror
     uint32_t* flags;  // per original record
+    int64_t bi_dir;
+    int64_t packable;  // 1 when every id/coordinate fits 24 bits
 };
 
 MaHitsStage* ma_paf_load_hits_begin(const char* fn, int64_t min_span,
@@ -405,31 +407,19 @@ MaHitsStage* ma_paf_load_hits_begin(const char* fn, int64_t min_span,
     if (!raw) return nullptr;
     int64_t n = raw->n_rec;
 
-    std::vector<uint64_t> keys;
-    auto* src = new std::vector<int64_t>();
-    keys.reserve(bi_dir ? 2 * n : n);
-    src->reserve(keys.capacity());
     uint32_t* flags = static_cast<uint32_t*>(std::malloc(n * 4 + 4));
     float iden_f = static_cast<float>(min_iden);
+    int64_t m = n;
+    if (bi_dir) {
+        m = 0;
+        for (int64_t i = 0; i < n; ++i)
+            m += raw->qid[i] != raw->tid[i] ? 2 : 1;
+    }
     for (int64_t i = 0; i < n; ++i) {
         uint32_t iden_ok = !(static_cast<float>(raw->ml[i]) <
                              static_cast<float>(raw->bl[i]) * iden_f);
         flags[i] = 1u | (static_cast<uint32_t>(raw->rev[i]) << 1) |
                    (iden_ok << 2);
-        keys.push_back(static_cast<uint64_t>(raw->qid[i]) << 32 | raw->qs[i]);
-        src->push_back(i << 1);
-        if (bi_dir && raw->qid[i] != raw->tid[i]) {
-            keys.push_back(static_cast<uint64_t>(raw->tid[i]) << 32 | raw->ts[i]);
-            src->push_back((i << 1) | 1);
-        }
-    }
-    int64_t m = static_cast<int64_t>(keys.size());
-    ma_radix_argsort_u64(keys.data(), src->data(), m);
-
-    int64_t max_deg = 0, run = 0;
-    for (int64_t j = 0; j < m; ++j) {
-        run = (j > 0 && (keys[j] >> 32) == (keys[j - 1] >> 32)) ? run + 1 : 1;
-        if (run > max_deg) max_deg = run;
     }
     int64_t n_seq_cap = 1;
     while (n_seq_cap < raw->n_seq) n_seq_cap <<= 1;
@@ -439,7 +429,7 @@ MaHitsStage* ma_paf_load_hits_begin(const char* fn, int64_t min_span,
     st->n_orig = n;
     st->n_seq = raw->n_seq;
     st->n_lines = raw->n_lines;
-    st->max_deg = max_deg;
+    st->max_deg = 0;  // filled by ma_hits_sort
     st->n_seq_cap = n_seq_cap;
     st->seq_len = raw->seq_len;
     raw->seq_len = nullptr;
@@ -447,14 +437,50 @@ MaHitsStage* ma_paf_load_hits_begin(const char* fn, int64_t min_span,
     st->names_bytes = raw->names_bytes;
     raw->names = nullptr;
     st->raw = raw;
-    st->srcvec = src;
+    st->srcvec = new std::vector<int64_t>();
     st->flags = flags;
+    st->bi_dir = bi_dir;
+    // 24-bit packability: coordinates are bounded by read length
+    uint32_t max_len = 0;
+    for (int64_t i = 0; i < raw->n_seq; ++i)
+        if (st->seq_len[i] > max_len) max_len = st->seq_len[i];
+    st->packable = (raw->n_seq < (1 << 24) && max_len < (1u << 24)) ? 1 : 0;
     return st;
+}
+
+// phase 2 (call after pulling the original columns — the tunnel transfer
+// of those blocks then overlaps this CPU-bound sort): build the mirrored
+// key sequence and exact-radix-argsort it.
+void ma_hits_sort(MaHitsStage* st) {
+    auto* raw = static_cast<MaPafLoad*>(st->raw);
+    auto* src = static_cast<std::vector<int64_t>*>(st->srcvec);
+    int64_t n = st->n_orig;
+    std::vector<uint64_t> keys;
+    keys.reserve(st->n_hits);
+    src->reserve(st->n_hits);
+    for (int64_t i = 0; i < n; ++i) {
+        keys.push_back(static_cast<uint64_t>(raw->qid[i]) << 32 | raw->qs[i]);
+        src->push_back(i << 1);
+        if (st->bi_dir && raw->qid[i] != raw->tid[i]) {
+            keys.push_back(static_cast<uint64_t>(raw->tid[i]) << 32 | raw->ts[i]);
+            src->push_back((i << 1) | 1);
+        }
+    }
+    int64_t m = static_cast<int64_t>(keys.size());
+    ma_radix_argsort_u64(keys.data(), src->data(), m);
+    int64_t max_deg = 0, run = 0;
+    for (int64_t j = 0; j < m; ++j) {
+        run = (j > 0 && (keys[j] >> 32) == (keys[j - 1] >> 32)) ? run + 1 : 1;
+        if (run > max_deg) max_deg = run;
+    }
+    st->max_deg = max_deg;
 }
 
 // kind 0: (7, jlen) block of ORIGINAL columns [qid qs qe tid ts te flags]
 // kind 1: (jlen,) block of the sorted permutation (orig_i<<1 | mirror),
 //         -1 beyond n_hits
+// kind 2: (19, jlen) uint8 block: 3 little-endian bytes per value for the
+//         6 id/coordinate columns + 1 byte of flags (requires packable)
 void ma_hits_fill_chunk(MaHitsStage* st, int64_t kind, int64_t j0,
                         int64_t jlen, int32_t* out) {
     auto* raw = static_cast<MaPafLoad*>(st->raw);
@@ -463,6 +489,36 @@ void ma_hits_fill_chunk(MaHitsStage* st, int64_t kind, int64_t j0,
         int64_t m = st->n_hits;
         for (int64_t j = j0; j < j0 + jlen; ++j)
             out[j - j0] = j < m ? static_cast<int32_t>((*src)[j]) : -1;
+        return;
+    }
+    if (kind == 2) {
+        uint8_t* o = reinterpret_cast<uint8_t*>(out);
+        int64_t n2 = st->n_orig;
+        int64_t hi2 = j0 + jlen < n2 ? j0 + jlen : n2;
+        int64_t cnt2 = hi2 > j0 ? hi2 - j0 : 0;
+        const void* cols[6] = {raw->qid, raw->qs, raw->qe,
+                               raw->tid, raw->ts, raw->te};
+        for (int c = 0; c < 6; ++c) {
+            const uint32_t* s = static_cast<const uint32_t*>(cols[c]);
+            uint8_t* b0 = o + (3 * c + 0) * jlen;
+            uint8_t* b1 = o + (3 * c + 1) * jlen;
+            uint8_t* b2 = o + (3 * c + 2) * jlen;
+            for (int64_t k = 0; k < cnt2; ++k) {
+                uint32_t v = s[j0 + k];
+                b0[k] = static_cast<uint8_t>(v);
+                b1[k] = static_cast<uint8_t>(v >> 8);
+                b2[k] = static_cast<uint8_t>(v >> 16);
+            }
+            if (cnt2 < jlen) {
+                std::memset(b0 + cnt2, 0, jlen - cnt2);
+                std::memset(b1 + cnt2, 0, jlen - cnt2);
+                std::memset(b2 + cnt2, 0, jlen - cnt2);
+            }
+        }
+        uint8_t* bf = o + 18 * jlen;
+        for (int64_t k = 0; k < cnt2; ++k)
+            bf[k] = static_cast<uint8_t>(st->flags[j0 + k]);
+        if (cnt2 < jlen) std::memset(bf + cnt2, 0, jlen - cnt2);
         return;
     }
     int64_t n = st->n_orig;
