@@ -203,12 +203,23 @@ def mirror_gather(orig, perm, *, n_seq_cap, cap):
     from the UNMIRRORED original columns and the sorted permutation
     (orig_i<<1 | is_mirror, -1 = padding).  The mirror swaps query/target
     (hit.c:92-98); rev/iden flags are shared.  One HBM gather replaces
-    ~25% of the tunnel upload."""
+    ~25% of the tunnel upload.
+
+    `orig` is either (7, ocap) int32 full columns or the packed
+    (19, ocap) uint8 form from the native loader's kind-2 chunks: three
+    little-endian byte planes per id/coordinate column plus one flags
+    byte (pafread.cpp ma_hits_fill_chunk)."""
     perm = perm[:cap]
     i = jnp.maximum(perm >> 1, 0)
     m = (perm & 1).astype(bool)
     ok = perm >= 0
-    qid_o, qs_o, qe_o, tid_o, ts_o, te_o, fl_o = [orig[k][i] for k in range(7)]
+    if orig.dtype == jnp.uint8:
+        b = orig.astype(jnp.int32)
+        cols = [b[3 * c] | (b[3 * c + 1] << 8) | (b[3 * c + 2] << 16)
+                for c in range(6)] + [b[18]]
+    else:
+        cols = [orig[k] for k in range(7)]
+    qid_o, qs_o, qe_o, tid_o, ts_o, te_o, fl_o = [c[i] for c in cols]
 
     def pick(a, b):
         return jnp.where(m, b, a)
