@@ -64,3 +64,21 @@ def test_native_excl_and_edge_lines(tmp_path):
     nat2 = load_paf_native(str(p), 2000, 100, excl=excl)
     _compare(py2, nat2)
     assert nat2.n == 1
+
+
+@pytest.mark.skipif(not available(), reason="native lib unavailable")
+def test_staged_loader_matches_oneshot(sim_small):
+    """load_hits_native_dev (originals + permutation, device mirror_gather)
+    must reconstruct exactly the colmat load_hits_native materializes on the
+    host — including the packed 19-byte uint8 kind-2 upload format."""
+    from miniasm_tpu.io.native.pafload import load_hits_native, load_hits_native_dev
+    from miniasm_tpu.select.fused import mirror_gather, _next_pow2
+
+    colmat, n, d, n_lines, max_deg = load_hits_native(sim_small["paf"], 2000, 100)
+    orig, perm, n2, d2, nl2, md2 = load_hits_native_dev(sim_small["paf"], 2000, 100)
+    assert (n, n_lines, max_deg) == (n2, nl2, md2)
+    assert d.names == d2.names and d.lens == d2.lens
+    dev = mirror_gather(orig, perm, n_seq_cap=_next_pow2(max(d.n_seq, 1)),
+                        cap=perm.shape[0])
+    got = np.asarray(dev)
+    assert np.array_equal(got[:, :n], colmat[:, :n])
