@@ -109,7 +109,8 @@ def cleanup(g: Graph) -> Graph:
                  g.slen, g.sdel, start, cnt, g.is_symm, True)
 
 
-def graph_from_arcs(d, sub_s, sub_e, sub_del, cont, used, pal, arcs) -> Graph:
+def graph_from_arcs(d, sub_s, sub_e, sub_del, cont, used, pal, arcs,
+                    m_hits=None) -> Graph:
     """Device-resident graph-build path: consume the arc columns emitted by
     select_build (old read ids), perform the host half of containment
     removal (hit.c:237-256: dict deletions, unused-read drop, squeeze) and
@@ -137,7 +138,12 @@ def graph_from_arcs(d, sub_s, sub_e, sub_del, cont, used, pal, arcs) -> Graph:
     l = arcs["l"][keep].astype(np.int32)
     ol = arcs["ol"][keep].astype(np.int32)
     n_seq = d.n_seq
-    log("hit_contained", "%d sequences remain after containment removal", n_seq)
+    if m_hits is not None:
+        log("hit_contained", "%d sequences and %d hits remain after "
+            "containment removal", n_seq, m_hits)
+    else:
+        log("hit_contained", "%d sequences remain after containment removal",
+            n_seq)
     g = Graph(u=u, l=l, v=v, ol=ol, adel=np.zeros(len(u), dtype=bool),
               slen=slen, sdel=sdel,
               idx_start=np.zeros(2 * n_seq, dtype=np.int64),

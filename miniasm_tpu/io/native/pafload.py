@@ -133,6 +133,124 @@ def load_hits_native(fn, min_span, min_match, excl=None, bi_dir=True,
     return colmat, n, d, n_lines, max_deg
 
 
+class _MaHits3(ctypes.Structure):
+    _fields_ = [
+        ("n_orig", ctypes.c_int64),
+        ("n_mirror", ctypes.c_int64),
+        ("n_seq", ctypes.c_int64),
+        ("n_lines", ctypes.c_int64),
+        ("cap", ctypes.c_int64),
+        ("names_bytes", ctypes.c_int64),
+        ("max_len", ctypes.c_int64),
+        ("colmat", ctypes.POINTER(ctypes.c_int32)),
+        ("rank", ctypes.POINTER(ctypes.c_int64)),
+        ("seq_len", ctypes.POINTER(ctypes.c_uint32)),
+        ("names", ctypes.POINTER(ctypes.c_char)),
+        ("raw", ctypes.c_void_p),
+        ("bi_dir", ctypes.c_int64),
+    ]
+
+
+class HitsV2:
+    """Handle over the native v2 loader result: device colmat of the
+    unmirrored originals + lazily-built host rank table (the exact ksort
+    radix permutation of the implied mirrored array, hit.c:100/ksort.h)."""
+
+    def __init__(self, lib, res):
+        self._lib = lib
+        self._res = res
+        r = res.contents
+        self.n_orig = int(r.n_orig)
+        self.n_mirror = int(r.n_mirror)
+        self.n_lines = int(r.n_lines)
+        self.cap = int(r.cap)
+        self.max_len = int(r.max_len)
+        self._ranked = False
+
+    def colmat(self):
+        """(7, cap) int32 numpy view over the native buffer (no copy; the
+        caller must device_put before free)."""
+        r = self._res.contents
+        return np.ctypeslib.as_array(r.colmat, shape=(7, self.cap))
+
+    def build_rank(self):
+        """CPU-bound; call while the device kernel runs."""
+        if not self._ranked:
+            self._lib.ma_hits3_rank(self._res)
+            self._ranked = True
+
+    def arc_ranks(self, idx):
+        """Map kernel arc indices (j for q-side rows, cap+j for mirrors)
+        to positions in the reference's sorted mirrored hit array."""
+        self.build_rank()
+        r = self._res.contents
+        rank = np.ctypeslib.as_array(r.rank, shape=(2 * self.cap,))
+        side = (idx >= self.cap).astype(np.int64)
+        j = idx - side * self.cap
+        return rank[(j << 1) | side]
+
+    def seqdict(self):
+        from ..seqdict import SeqDict
+
+        r = self._res.contents
+        ns = int(r.n_seq)
+        names_blob = ctypes.string_at(r.names, int(r.names_bytes))
+        names = names_blob.decode("latin-1").split("\0")[:ns]
+        lens = (np.ctypeslib.as_array(r.seq_len, shape=(ns,)).copy()
+                if ns else np.zeros(0, np.uint32))
+        d = SeqDict()
+        for nm, ln in zip(names, lens):
+            d.index[nm] = len(d.names)
+            d.names.append(nm)
+            d.lens.append(int(ln))
+        return d
+
+    def free(self):
+        if self._res:
+            self._lib.ma_hits3_free(self._res)
+            self._res = None
+
+    def __del__(self):
+        try:
+            self.free()
+        except Exception:
+            pass
+
+
+def load_hits_v2(fn, min_span, min_match, excl=None, bi_dir=True,
+                 min_iden=0.05):
+    """v2 native loader: parse + filter + intern in C++ (reference
+    hit.c:70-107 without the mirror/sort), upload the original columns,
+    keep the exact mirrored-order rank table host-side.  Returns
+    (colmat_dev, SeqDict, HitsV2 handle)."""
+    import jax
+
+    from .build import get_lib
+
+    lib = get_lib()
+    lib.ma_paf_load_hits3.restype = ctypes.POINTER(_MaHits3)
+    lib.ma_paf_load_hits3.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                      ctypes.c_int64, ctypes.c_char_p,
+                                      ctypes.c_int64, ctypes.c_int,
+                                      ctypes.c_double]
+    lib.ma_hits3_rank.argtypes = [ctypes.POINTER(_MaHits3)]
+    lib.ma_hits3_free.argtypes = [ctypes.POINTER(_MaHits3)]
+
+    if excl is not None and excl.n_seq:
+        blob = b"\0".join(n.encode() for n in excl.names) + b"\0"
+    else:
+        blob = b""
+    res = lib.ma_paf_load_hits3(fn.encode(), min_span, min_match, blob,
+                                len(blob), 1 if bi_dir else 0,
+                                float(min_iden))
+    if not res:
+        raise FileNotFoundError(2, "could not open PAF file", fn)
+    h = HitsV2(lib, res)
+    colmat_dev = jax.device_put(h.colmat())
+    d = h.seqdict()
+    return colmat_dev, d, h
+
+
 class _MaHitsStage(ctypes.Structure):
     _fields_ = [
         ("n_hits", ctypes.c_int64),

@@ -55,8 +55,21 @@ def run(paf_fn: str, opt: Opt, *, outfmt: str = "ug", fn_reads: str | None = Non
                                  opt.max_hang, opt.int_frac)
 
     sys.stderr.write("[M::main] ===> Step 1: reading read mappings <===\n")
+    import os as _os
+
     fast_ug = (not no_first and not no_second and stage >= 5
                and outfmt in ("ug", "sg"))
+    use_v2 = _os.environ.get("MINIASM_TPU_SELECT", "v2") == "v2"
+    if fast_ug and use_v2:
+        try:
+            from .io.native import available
+            from .io.native.pafload import load_hits_v2
+        except ImportError:
+            available = lambda: False  # noqa: E731
+        if available():
+            return _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out,
+                                excl, bi_dir)
+
     colmat = None
     max_deg = None
     if fast_ug:
@@ -162,6 +175,49 @@ def run(paf_fn: str, opt: Opt, *, outfmt: str = "ug", fn_reads: str | None = Non
 
     return _emit(paf_fn, opt, outfmt, fn_reads, stage, out, d, hits,
                  sub_s, sub_e, sub_del)
+
+
+def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir):
+    """Production ug/sg path: dual-sided device kernel over unmirrored
+    originals (select/fused2.py), per-stage reference counters restored."""
+    from .io.native.pafload import load_hits_v2
+    from .select.fused2 import select_build2
+    from .graph.asg import graph_from_arcs
+
+    colmat_dev, d, h3 = load_hits_v2(
+        paf_fn, opt.min_span, opt.min_match, excl=excl, bi_dir=bi_dir,
+        min_iden=float(opt.min_iden))
+    log("hit_read", "read %d hits; stored %d hits and %d sequences (%d bp)",
+        h3.n_lines, h3.n_mirror, d.n_seq,
+        int(np.sum(d.lens_array(), dtype=np.uint64)))
+
+    sys.stderr.write("[M::main] ===> Step 2: 1-pass (crude) read selection <===\n")
+    arcs, md, counts = select_build2(
+        colmat_dev, d, opt, bi_dir=bi_dir, max_len=h3.max_len,
+        on_dispatch=h3.build_rank)
+    n_rem1, n_cut1, n_flt, n_rem2, n_cut2, m_cont, _ = counts
+    log("hit_sub", "%d query sequences remain after sub", n_rem1)
+    log("hit_cut", "%d hits remain after cut", n_cut1)
+    tot_dp = int(np.sum(md["dp"]))
+    tot_len = int(np.sum((md["e1"] - md["s1"])[md["has_flt"]]))
+    cov = tot_dp / tot_len if tot_len else 0.0
+    log("hit_flt", "%d hits remain after filtering; crude coverage after "
+        "filtering: %.2f", n_flt, cov)
+    sys.stderr.write("[M::main] ===> Step 3: 2-pass (fine) read selection <===\n")
+    log("hit_sub", "%d query sequences remain after sub", n_rem2)
+    log("hit_cut", "%d hits remain after cut", n_cut2)
+
+    # restore the reference's arc insertion order (the exact ksort radix
+    # permutation of the mirrored hit array) over the surviving arcs only
+    order = np.argsort(h3.arc_ranks(arcs["idx"]), kind="stable")
+    arcs = {k: arcs[k][order] for k in ("u", "l", "v", "ol")}
+    h3.free()
+
+    g, sub_s, sub_e, sub_del = graph_from_arcs(
+        d, md["sub_s"], md["sub_e"], md["sub_del"], md["cont"],
+        md["used"], md["pal"], arcs, m_hits=m_cont)
+    return _emit(paf_fn, opt, outfmt, fn_reads, stage, out, d, None,
+                 sub_s, sub_e, sub_del, prebuilt=g)
 
 
 def _emit(paf_fn, opt, outfmt, fn_reads, stage, out, d, hits,

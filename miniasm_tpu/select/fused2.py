@@ -1,0 +1,384 @@
+"""Dual-sided fused selection kernel (Steps 2-3 + arc classification).
+
+v2 of the device pipeline.  The reference materializes a mirrored hit array
+(each PAF record pushed twice with query/target swapped, hit.c:92-98) and
+runs every pass over 2N records.  Here the device consumes the UNMIRRORED
+originals straight from the parser and processes each record's two
+orientations ("q-side" = the record itself, "m-side" = its implied mirror)
+as extra elementwise lanes of the same row:
+
+  - the coverage sweeps (ma_hit_sub, hit.c:109-160) take 4 events per
+    original (start/end on the query + start/end on the target), which is
+    exactly the mirrored array's 2-events-per-row;
+  - coordinate cutting (ma_hit_cut, hit.c:162-193) is symmetric under the
+    mirror, so one computation serves both sides;
+  - classification (ma_hit2arc, miniasm.h:86-104) is NOT symmetric (the
+    int_frac test depends on which read is "query"), so each side carries
+    its own validity bit from the filter stage on (a record can survive as
+    a mirror only, matching the reference's per-record compaction);
+  - the sorted order of the mirrored array (exact ksort radix permutation)
+    matters only for the arc insertion order of ma_sg_gen; arcs come back
+    with their (original, side) index and the HOST applies the rank table
+    computed by the native loader over the few surviving arcs.
+
+TPU cost model this kernel is built around (measured on v5e):
+  - gathers ~7 ns/index -> minimized: two packed table gathers per cut pass
+    (sub_s/sub_e/del packed into one u32 per read);
+  - lax.sort ~2 ns/elem/key -> two 2-key event sorts, nothing else;
+  - scans, scatters, segment reductions, elementwise: ~free ->
+    forward-fill scans replace every sorted-index gather;
+  - one dispatch + one fetch for the whole stage (sync round trips through
+    the host cost ~28 ms each).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.hit2arc import hit2arc, MA_HT_QCONT, MA_HT_TCONT
+from ..utils.scan import ffill, seg_cummax
+
+I32 = jnp.int32
+BIG = jnp.int32(2**31 - 1)
+
+
+def _pack_tab(s, e, dele, pack_se: bool):
+    """Pack per-read trim tables for single-gather reads.
+
+    pack_se (max read length < 65535): one u32 word  s<<16 | e, with the
+    all-ones word as the `del` sentinel (a real (s, e) cannot produce it
+    because e <= max_len < 65535).  Otherwise two words: s | del<<31
+    (mirroring the reference's ma_sub_t s:31,del:1 bitfield) and e."""
+    su = s.astype(jnp.uint32)
+    eu = e.astype(jnp.uint32)
+    if pack_se:
+        w = (su << 16) | eu
+        w = jnp.where(dele, jnp.uint32(0xFFFFFFFF), w)
+        return (w.astype(I32),)
+    w1 = su | (dele.astype(jnp.uint32) << 31)
+    return (w1.astype(I32), eu.astype(I32))
+
+
+def _unpack_tab(words, idx, pack_se: bool):
+    """Gather packed tables at idx -> (s, e, del) int32/bool."""
+    if pack_se:
+        w = words[0][idx].astype(jnp.uint32)
+        dele = w == jnp.uint32(0xFFFFFFFF)
+        s = jnp.where(dele, jnp.uint32(0), w >> 16).astype(I32)
+        e = jnp.where(dele, jnp.uint32(0), w & jnp.uint32(0xFFFF)).astype(I32)
+        return s, e, dele
+    w1 = words[0][idx].astype(jnp.uint32)
+    dele = (w1 >> 31) != 0
+    s = (w1 & jnp.uint32(0x7FFFFFFF)).astype(I32)
+    e = words[1][idx]
+    return s, e, dele
+
+
+def _sub_pass(qid, tid, cqs, cqe, cts, cte, vq, vm, iden, not_self,
+              T: int, min_dp: int, end_clip: int):
+    """Coverage sweep over the 4 events per original (ma_hit_sub,
+    hit.c:109-160).  Returns (s, e, del, n_remained) with tables length T
+    (slot T-1 is the scatter dump)."""
+    n = qid.shape[0]
+    dump = T - 1
+    segpad = jnp.int32(T)
+
+    okq = vq & not_self & iden
+    okm = vm & not_self & iden
+    esq = cqs + end_clip
+    eeq = cqe - end_clip
+    est = cts + end_clip
+    eet = cte - end_clip
+    okq = okq & (eeq > esq)
+    okm = okm & (eet > est)
+
+    seg = jnp.concatenate([
+        jnp.where(okq, qid, segpad), jnp.where(okq, qid, segpad),
+        jnp.where(okm, tid, segpad), jnp.where(okm, tid, segpad)])
+    key = jnp.concatenate([
+        jnp.where(okq, esq * 2, BIG), jnp.where(okq, eeq * 2 + 1, BIG),
+        jnp.where(okm, est * 2, BIG), jnp.where(okm, eet * 2 + 1, BIG)])
+    seg, key = jax.lax.sort([seg, key], num_keys=2)
+
+    valid_ev = key != BIG
+    is_end = (key & 1) == 1
+    delta = jnp.where(valid_ev, jnp.where(is_end, -1, 1), 0).astype(I32)
+    cum = jnp.cumsum(delta)
+    # depth restarts per segment: subtract the running total just before the
+    # segment's first event (ffill of cum-delta from run starts — no gather)
+    prev_seg = jnp.concatenate([seg[:1] - 1, seg[:-1]])
+    base = ffill(seg != prev_seg, cum - delta)
+    depth = cum - base
+    old_depth = depth - delta
+
+    is_start_tr = valid_ev & (old_depth < min_dp) & (depth >= min_dp)
+    is_end_tr = valid_ev & (old_depth >= min_dp) & (depth < min_dp)
+
+    pos = (key >> 1).astype(I32)
+    # every end-transition pairs with the most recent start-transition, which
+    # is in its own segment (depth enters and leaves each segment at 0)
+    start_pos = ffill(is_start_tr, pos)
+    length = jnp.where(is_end_tr, pos - start_pos, -1)
+
+    # first row achieving the segment max, strict-> compare like the
+    # reference's `len > max.e - max.s` (hit.c:142): larger than everything
+    # before it, >= everything after it
+    pref = seg_cummax(seg, length, reverse=False)
+    pref_before = jnp.concatenate([jnp.full((1,), -1, I32), pref[:-1]])
+    pref_before = jnp.where(seg == prev_seg, pref_before, -1)
+    suf = seg_cummax(seg, length, reverse=True)
+    winner = is_end_tr & (length > 0) & (length >= suf) & (length > pref_before)
+
+    wseg = jnp.where(winner, jnp.minimum(seg, dump), dump)
+    s_tab = jnp.zeros(T, I32).at[wseg].set(jnp.where(winner, start_pos, 0))
+    e_tab = jnp.zeros(T, I32).at[wseg].set(jnp.where(winner, pos, 0))
+    has_region = jnp.zeros(T, bool).at[wseg].set(winner)
+    has_region = has_region.at[dump].set(False)
+
+    # reads appearing as query of any (valid) row form a group even when all
+    # their events are skipped (self matches / identity failures): they get
+    # del=1 (hit.c:115,152)
+    has_query = jnp.zeros(T, bool)
+    has_query = has_query.at[jnp.where(vq, jnp.minimum(qid, dump), dump)].set(vq)
+    has_query = has_query.at[jnp.where(vm, jnp.minimum(tid, dump), dump)].set(vm)
+    has_query = has_query.at[dump].set(False)
+
+    s = jnp.where(has_region, s_tab - end_clip, 0)
+    e = jnp.where(has_region, e_tab + end_clip, 0)
+    dele = has_query & ~has_region
+    n_rem = jnp.sum(has_region)
+    return s, e, dele, n_rem
+
+
+def _cut_pass(qid, tid, cqs, cqe, cts, cte, rev, words, pack_se: bool,
+              min_span: int):
+    """ma_hit_cut (hit.c:162-193), one computation for both sides (the
+    keep test and the coordinate rewrite are symmetric under the mirror).
+    Returns (keep, qs2, qe2, ts2, te2) with coordinates as int32 bit
+    patterns of the reference's uint32 results."""
+    rq_s, rq_e, rq_del = _unpack_tab(words, qid, pack_se)
+    rt_s, rt_e, rt_del = _unpack_tab(words, tid, pack_se)
+    alive = ~(rq_del | rt_del)
+
+    qs0, qe0, ts0, te0 = cqs, cqe, cts, cte
+    # strand-aware projection (hit.c:170-180); all operands fit int32 and
+    # the reference's s-side comparisons are signed (ma_sub_t.s is an int-
+    # promoted 31-bit bitfield) while projections keep qs1/ts1 >= 0
+    qs1 = jnp.where(rev,
+                    jnp.where(te0 < rt_e, qs0, qs0 + (te0 - rt_e)),
+                    jnp.where(ts0 > rt_s, qs0, qs0 + (rt_s - ts0)))
+    qe1 = jnp.where(rev,
+                    jnp.where(ts0 > rt_s, qe0, qe0 - (rt_s - ts0)),
+                    jnp.where(te0 < rt_e, qe0, qe0 - (te0 - rt_e)))
+    ts1 = jnp.where(rev,
+                    jnp.where(qe0 < rq_e, ts0, ts0 + (qe0 - rq_e)),
+                    jnp.where(qs0 > rq_s, ts0, ts0 + (rq_s - qs0)))
+    te1 = jnp.where(rev,
+                    jnp.where(qs0 > rq_s, te0, te0 - (rq_s - qs0)),
+                    jnp.where(qe0 < rq_e, te0, te0 - (qe0 - rq_e)))
+
+    # clamp + rebase (hit.c:181-184): s-side signed max (qs1/ts1 >= 0 so it
+    # equals the unsigned max), e-side UNSIGNED min (the reference compares
+    # int qe against the uint32 ma_sub_t.e, so a negative qe converts huge)
+    u32 = jnp.uint32
+    qs2 = (jnp.maximum(qs1, rq_s) - rq_s).astype(u32)
+    ts2 = (jnp.maximum(ts1, rt_s) - rt_s).astype(u32)
+    qe2 = jnp.where(qe1.astype(u32) < rq_e.astype(u32),
+                    qe1.astype(u32), rq_e.astype(u32)) - rq_s.astype(u32)
+    te2 = jnp.where(te1.astype(u32) < rt_e.astype(u32),
+                    te1.astype(u32), rt_e.astype(u32)) - rt_s.astype(u32)
+
+    qspan = (qe2 - qs2).astype(I32)
+    tspan = (te2 - ts2).astype(I32)
+    keep = alive & (qspan >= min_span) & (tspan >= min_span)
+    return keep, qs2.astype(I32), qe2.astype(I32), ts2.astype(I32), te2.astype(I32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_seq_cap", "min_span", "min_dp", "max_hang", "int_frac", "min_ovlp",
+    "bi_dir", "pack_se", "arc_cap"))
+def _select2_kernel(colmat, *, n_seq_cap, min_span, min_dp, max_hang,
+                    int_frac, min_ovlp, bi_dir, pack_se, arc_cap):
+    """colmat: (7, N) int32 originals [qid qs qe tid ts te flags], flags
+    bit0=valid bit1=rev bit2=iden_ok; padding rows have qid=n_seq_cap+1,
+    flags=0."""
+    qid, qs, qe, tid, ts, te, fl = [colmat[i] for i in range(7)]
+    T = n_seq_cap + 2
+    valid0 = (fl & 1) != 0
+    rev = (fl >> 1) & 1
+    iden = ((fl >> 2) & 1).astype(bool)
+    is_self = qid == tid
+    not_self = ~is_self
+    vq = valid0
+    vm = valid0 & not_self if bi_dir else jnp.zeros_like(valid0)
+
+    # --- Step 2: crude sweep, end_clip=0 (main.c:122) + cut ---
+    s1, e1, d1, n_rem1 = _sub_pass(qid, tid, qs, qe, ts, te, vq, vm, iden,
+                                   not_self, T, min_dp, 0)
+    w1 = _pack_tab(s1, e1, d1, pack_se)
+    keep, qs, qe, ts, te = _cut_pass(qid, tid, qs, qe, ts, te, rev, w1,
+                                     pack_se, min_span)
+    vq = vq & keep
+    vm = vm & keep
+    n_cut1 = jnp.sum(vq) + jnp.sum(vm)
+
+    # --- arc filter, relaxed params (main.c:125; hit.c:195-216) ---
+    sl1 = e1 - s1
+    slq = sl1[qid]   # one extra gather pair; reused by both sides
+    slt = sl1[tid]
+    cq = hit2arc(qid, qs, qe, tid, ts, te, rev, slq, slt,
+                 int(max_hang * 1.5), 0.5, int(min_ovlp * 0.5))
+    cm = hit2arc(tid, ts, te, qid, qs, qe, rev, slt, slq,
+                 int(max_hang * 1.5), 0.5, int(min_ovlp * 0.5))
+    # cut survivors have both reads non-deleted, so the reference's explicit
+    # sq->del||st->del skip is already implied by vq/vm
+    def flt_keep(c):
+        r = c["r"]
+        return (r >= 0) | (r == MA_HT_QCONT) | (r == MA_HT_TCONT)
+
+    def flt_dp(c, sq, st):
+        r = c["r"]
+        return jnp.where(r >= 0, r, jnp.where(r == MA_HT_QCONT, sq, st))
+
+    vq = vq & flt_keep(cq)
+    vm = vm & flt_keep(cm)
+    n_flt = jnp.sum(vq) + jnp.sum(vm)
+    dump = T - 1
+    dp_read = jnp.zeros(T, I32)
+    dp_read = dp_read.at[jnp.where(vq, jnp.minimum(qid, dump), dump)].add(
+        jnp.where(vq, flt_dp(cq, slq, slt), 0))
+    dp_read = dp_read.at[jnp.where(vm, jnp.minimum(tid, dump), dump)].add(
+        jnp.where(vm, flt_dp(cm, slt, slq), 0))
+    has_flt = jnp.zeros(T, bool)
+    has_flt = has_flt.at[jnp.where(vq, jnp.minimum(qid, dump), dump)].set(vq)
+    has_flt = has_flt.at[jnp.where(vm, jnp.minimum(tid, dump), dump)].set(vm)
+
+    # --- Step 3: fine sweep, end_clip=min_span/2 (main.c:132) + cut ---
+    s2, e2, d2, n_rem2 = _sub_pass(qid, tid, qs, qe, ts, te, vq, vm, iden,
+                                   not_self, T, min_dp, min_span // 2)
+    w2 = _pack_tab(s2, e2, d2, pack_se)
+    keep, qs, qe, ts, te = _cut_pass(qid, tid, qs, qe, ts, te, rev, w2,
+                                     pack_se, min_span)
+    vq = vq & keep
+    vm = vm & keep
+    n_cut2 = jnp.sum(vq) + jnp.sum(vm)
+
+    # --- merge (ma_sub_merge, hit.c:218-223) ---
+    ms = s1 + s2
+    me = s1 + e2
+    mdel = d1 | d2
+
+    # --- containment marks + final classification (hit.c:225-236,
+    #     asm.c:9-39) with merged lengths e2-s2 ---
+    sl2 = e2 - s2
+    slq = sl2[qid]
+    slt = sl2[tid]
+    cq = hit2arc(qid, qs, qe, tid, ts, te, rev, slq, slt,
+                 max_hang, int_frac, min_ovlp)
+    cm = hit2arc(tid, ts, te, qid, qs, qe, rev, slt, slq,
+                 max_hang, int_frac, min_ovlp)
+    rq = jnp.where(vq, cq["r"], 0)
+    rm = jnp.where(vm, cm["r"], 0)
+    cont = jnp.zeros(T, bool)
+    cont = cont.at[jnp.where(rq == MA_HT_QCONT, jnp.minimum(qid, dump), dump)].set(True)
+    cont = cont.at[jnp.where(rq == MA_HT_TCONT, jnp.minimum(tid, dump), dump)].set(True)
+    cont = cont.at[jnp.where(rm == MA_HT_QCONT, jnp.minimum(tid, dump), dump)].set(True)
+    cont = cont.at[jnp.where(rm == MA_HT_TCONT, jnp.minimum(qid, dump), dump)].set(True)
+    cont = cont.at[dump].set(False)
+
+    used = jnp.zeros(T, bool)
+    used = used.at[jnp.where(vq, jnp.minimum(qid, dump), dump)].set(vq)
+    used = used.at[jnp.where(vq, jnp.minimum(tid, dump), dump)].set(vq)
+    used = used.at[jnp.where(vm, jnp.minimum(tid, dump), dump)].set(vm)
+    used = used.at[jnp.where(vm, jnp.minimum(qid, dump), dump)].set(vm)
+    used = used.at[dump].set(False)
+
+    pal_rows = vq & (cq["r"] >= 0) & is_self & (qs == ts) & (qe == te) & (rev != 0)
+    pal = jnp.zeros(T, bool).at[
+        jnp.where(pal_rows, jnp.minimum(qid, dump), dump)].set(pal_rows)
+    pal = pal.at[dump].set(False)
+
+    # device-side squeeze precondition (hit.c:237-251): a read survives iff
+    # used, not sub-deleted, not contained; arcs touching dropped reads are
+    # filtered before download
+    read_alive = used & ~mdel & ~cont
+    aq = read_alive[jnp.minimum(qid, dump)]
+    at = read_alive[jnp.minimum(tid, dump)]
+    m_contained = (jnp.sum(vq & aq & at) + jnp.sum(vm & aq & at))
+
+    arc_q = vq & (cq["r"] >= 0) & not_self & aq & at
+    arc_m = vm & (cm["r"] >= 0) & not_self & aq & at
+    arc_rows = jnp.concatenate([arc_q, arc_m])
+    n = qid.shape[0]
+    n_arc = jnp.sum(arc_rows)
+    idx = jnp.nonzero(arc_rows, size=arc_cap, fill_value=2 * n - 1)[0]
+    au = jnp.concatenate([cq["u"], cm["u"]])[idx]
+    al = jnp.concatenate([cq["l"], cm["l"]])[idx]
+    av = jnp.concatenate([cq["v"], cm["v"]])[idx]
+    aol = jnp.concatenate([cq["ol"], cm["ol"]])[idx]
+    ok = jnp.arange(arc_cap, dtype=I32) < n_arc
+    arcmat = jnp.stack([jnp.where(ok, au, 0), jnp.where(ok, al, 0),
+                        jnp.where(ok, av, 0), jnp.where(ok, aol, 0),
+                        jnp.where(ok, idx.astype(I32), -1)])
+
+    meta = jnp.stack([ms, me, mdel.astype(I32), cont.astype(I32),
+                      used.astype(I32), pal.astype(I32), dp_read,
+                      has_flt.astype(I32), s1, e1])[:, :n_seq_cap + 1]
+    counts = jnp.stack([n_rem1, n_cut1, n_flt, n_rem2, n_cut2,
+                        m_contained, n_arc])
+    return arcmat, meta, counts
+
+
+def _next_pow2(x: int) -> int:
+    n = 1
+    while n < x:
+        n <<= 1
+    return n
+
+
+def select_build2(colmat_dev, d, opt, *, bi_dir: bool, max_len: int,
+                  on_dispatch=None):
+    """Run the dual-sided kernel; returns (arcs dict with idx, meta dict,
+    counts list).  `on_dispatch`, when given, is called after the kernel is
+    dispatched and before the blocking fetch (the native loader uses it to
+    build the exact-radix rank table on the CPU while the device works)."""
+    n_seq = d.n_seq
+    n_seq_cap = _next_pow2(max(n_seq, 1))
+    pack_se = bool(max_len < 65535)
+    cap = colmat_dev.shape[1]
+    arc_cap = min(_next_pow2(max(65536, 4 * n_seq_cap)), 2 * _next_pow2(cap))
+    dispatched = False
+    while True:
+        arcmat, meta, counts = _select2_kernel(
+            colmat_dev, n_seq_cap=n_seq_cap, min_span=opt.min_span,
+            min_dp=opt.min_dp, max_hang=opt.max_hang,
+            int_frac=float(opt.int_frac), min_ovlp=opt.min_ovlp,
+            bi_dir=bi_dir, pack_se=pack_se, arc_cap=arc_cap)
+        if not dispatched and on_dispatch is not None:
+            on_dispatch()
+            dispatched = True
+        arcmat, meta, counts = jax.device_get((arcmat, meta, counts))
+        n_arc = int(counts[6])
+        if n_arc <= arc_cap:
+            break
+        arc_cap = _next_pow2(n_arc)
+    arcs = {
+        "u": arcmat[0, :n_arc].astype(np.int32),
+        "l": arcmat[1, :n_arc].astype(np.int32),
+        "v": arcmat[2, :n_arc].astype(np.int32),
+        "ol": arcmat[3, :n_arc].astype(np.int32),
+        "idx": arcmat[4, :n_arc].astype(np.int64),
+    }
+    meta = meta[:, :n_seq]
+    md = {
+        "sub_s": meta[0].astype(np.uint32), "sub_e": meta[1].astype(np.uint32),
+        "sub_del": meta[2].astype(bool), "cont": meta[3].astype(bool),
+        "used": meta[4].astype(bool), "pal": meta[5].astype(bool),
+        "dp": meta[6].astype(np.int64), "has_flt": meta[7].astype(bool),
+        "s1": meta[8].astype(np.int64), "e1": meta[9].astype(np.int64),
+    }
+    return arcs, md, [int(x) for x in counts]
