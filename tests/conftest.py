@@ -76,3 +76,24 @@ def sim_small(tmp_path_factory):
     write_paf(sim, paf)
     write_fasta(sim, fa)
     return {"paf": paf, "fasta": fa, "sim": sim}
+
+
+@pytest.fixture(scope="session")
+def sim_noisy(tmp_path_factory, sim_small):
+    """Degraded overlap set: random 55% dropout of sim_small's PAF lines.
+
+    Chosen (dropout, seed) so the reference fires EVERY order-dependent
+    cleaning pass on this input (verified against the compiled reference:
+    79 tips, 3 bubbles, 2 internal cuts, 4 bi-loops, 23 short-overlap
+    drops, 600+ transitive reductions, 70+ asymmetric arcs).  Guards the
+    Steps 4.2-4.5 machinery that perfect-overlapper data never exercises."""
+    import random
+
+    d = tmp_path_factory.mktemp("sim_noisy")
+    paf = str(d / "reads_deg.paf")
+    rng = random.Random(3)
+    with open(sim_small["paf"]) as f, open(paf, "w") as g:
+        for line in f:
+            if rng.random() > 0.55:
+                g.write(line)
+    return {"paf": paf, "fasta": sim_small["fasta"]}

@@ -44,3 +44,36 @@ def test_skip_selection_parity(ref_miniasm, sim_small):
     ref_out = run_ref(ref_miniasm, ["-1", "-2", "-p", "sg", sim_small["paf"]])
     our_out = run_ours(["-1", "-2", "-p", "sg", sim_small["paf"]])
     assert our_out == ref_out
+
+
+@pytest.mark.parametrize("fmt", FORMATS)
+def test_noisy_pipeline_parity(ref_miniasm, sim_noisy, fmt):
+    """Degraded-PAF parity: the reference fires tips/bubbles/biloops/
+    internal/short-drop passes on this fixture (see conftest.sim_noisy), so
+    this asserts byte-parity of the order-dependent cleaning machinery on
+    non-trivial work, not just on zero events."""
+    ref_out = run_ref(ref_miniasm, ["-p", fmt, sim_noisy["paf"]])
+    our_out = run_ours(["-p", fmt, sim_noisy["paf"]])
+    assert our_out == ref_out
+
+
+def test_noisy_counters_nonzero(ref_miniasm, sim_noisy):
+    """Meta-test: the noisy fixture must keep exercising the cleaning
+    passes — if the simulator or dropout parameters drift and the counters
+    go to zero, the parity tests above silently stop protecting them."""
+    import re
+    import subprocess
+
+    r = subprocess.run([ref_miniasm, sim_noisy["paf"]],
+                       capture_output=True, text=True)
+    log = r.stderr
+    tips = sum(int(m) for m in re.findall(r"cut (\d+) tips", log))
+    bubbles = sum(int(m) for m in re.findall(r"popped (\d+) bubbles", log))
+    internal = sum(int(m) for m in re.findall(r"cut (\d+) internal", log))
+    biloops = sum(int(m) for m in re.findall(r"cut (\d+) small bi-loops", log))
+    shorts = sum(int(m) for m in re.findall(r"removed (\d+) short", log))
+    assert tips > 50, log
+    assert bubbles >= 1
+    assert internal >= 1
+    assert biloops >= 1
+    assert shorts >= 1
