@@ -1,0 +1,301 @@
+"""One-dispatch device graph cleaning: transitive reduction, symmetry
+enforcement, and candidate detection for every order-dependent pass.
+
+Architecture (SURVEY.md §7 "device-parallel detection, deterministic
+ordered commit"): the graph lives in (V, D) padded neighbor tables in HBM.
+A single jitted kernel computes, functionally chained on one entry state:
+
+  1. Myers transitive-reduction elimination marks (asg.c:148-193);
+  2. multi-arc marks on the post-trans live set (asg.c:104-121);
+  3. asymmetric-arc marks on the post-multi live set (asg.c:124-138);
+  4. weak-overlap (del_short) marks at EVERY drop ratio of the 4.3/4.5
+     schedule on the post-symm live set (asg.c:83-101);
+  5. tip / internal / bi-loop candidate vertices (asg_is_utg_end +
+     asg_extend classification, asg.c:199-306);
+  6. bubble-source candidates (>= 2 live out-arcs, asg.c:420-424).
+
+Chaining masks inside one kernel is exactly order-equivalent to the
+reference's pass-compact-pass sequence because asg_cleanup never re-sorts
+after the first sort (the is_srt latch, asg.c:75-78): compaction preserves
+relative arc order, so "live slots in slot order" here is the same
+sequence the reference's next pass scans.
+
+One dispatch + one fetch (sync round trips cost ~28 ms on the tunnel).
+The host applies the exact per-pass masks in reference order, commits the
+order-dependent passes sequentially over the (few) candidates, and
+re-dispatches detection only when a commit actually changed the graph —
+on a clean graph the whole Steps 4.1-4.5 block costs a single round trip.
+
+The O(D^2)-per-row stages (trans, multi, asymm) are chunked over vertex
+rows with lax.map so the compare tensors stay bounded on worm-scale
+graphs; everything still compiles to one dispatch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .asg import Graph
+
+I32 = jnp.int32
+
+# compare-tensor budget per chunk: clen * D * D * 4B <= ~256 MB
+_CHUNK_BYTES = 1 << 28
+
+
+def _pow2(x: int) -> int:
+    n = 1
+    while n < x:
+        n <<= 1
+    return n
+
+
+def build_tables(g: Graph):
+    """(Vp, Dp) neighbor tables from the CSR graph (host, cheap).  Shapes
+    are padded to power-of-two buckets so repeated detections within a run
+    (after commits shrink the graph) reuse the same compiled kernel.
+    Requires a compacted graph (no tombstones): detection is only invoked
+    right after a cleanup, like every reference pass."""
+    assert not g.adel.any(), "detect() requires a compacted graph"
+    V = g.n_vtx
+    D = max(int(g.idx_cnt.max()) if g.n_arc else 1, 1)
+    Vp = _pow2(max(V, 2))
+    Dp = _pow2(D)
+    rows = g.u.astype(np.int64)
+    slots = np.arange(g.n_arc, dtype=np.int64) - g.idx_start[rows]
+    nbr_v = np.full((Vp, Dp), -1, dtype=np.int32)
+    nbr_l = np.full((Vp, Dp), np.int32(2**31 - 1), dtype=np.int32)
+    nbr_ol = np.zeros((Vp, Dp), dtype=np.int32)
+    nbr_v[rows, slots] = g.v
+    nbr_l[rows, slots] = g.l
+    nbr_ol[rows, slots] = g.ol
+    nv = np.zeros(Vp, dtype=np.int32)
+    nv[:V] = g.idx_cnt.astype(np.int32)
+    sdel_v = np.ones(Vp, dtype=bool)  # padding vertices are "deleted"
+    sdel_v[:V] = g.sdel[np.arange(V) >> 1]
+    return nbr_v, nbr_l, nbr_ol, nv, sdel_v, V, Vp, Dp
+
+
+def _short_frac_cut() -> float:
+    """Exact emulation of the reference's weak-arc threshold rounding
+    (asg.c:90): thres = (uint32_t)((float)(ol * ratio) + .499) — an f32
+    product, an f64 add of .499, then truncation.  Equivalently:
+    thres = floor(part32) + [frac(part32) >= 1 - 0.499_f64].  The cut
+    constant is the smallest float32 >= (1 - 0.499) in f64, computed here
+    so the on-device comparison of the (exactly f32) fraction matches the
+    f64 semantics bit-for-bit."""
+    c = 1.0 - 0.499  # f64
+    c32 = np.float32(c)
+    if float(c32) < c:
+        c32 = np.nextafter(c32, np.float32(2.0))
+    return float(c32)
+
+
+@functools.partial(jax.jit, static_argnames=("Vp", "Dp", "n_chunks", "fuzz",
+                                             "ratios", "max_ext", "do_trans",
+                                             "do_symm"))
+def _clean_kernel(nbr_v, nbr_l, nbr_ol, nv, sdel_v, *, Vp, Dp, n_chunks,
+                  fuzz, ratios, max_ext, do_trans, do_symm):
+    D = Dp
+    clen = Vp // n_chunks
+    c0s = jnp.arange(n_chunks, dtype=I32) * clen
+
+    # ---- stage A (chunked): 4.1 transitive reduction + multi-arc marks.
+    # Both only compare slots of the same row (trans scans neighbor rows via
+    # gathers into the FULL tables), so chunking over rows is exact. ----
+    def chunk_a(c0):
+        cv = jax.lax.dynamic_slice_in_dim(nbr_v, c0, clen, 0)
+        cl = jax.lax.dynamic_slice_in_dim(nbr_l, c0, clen, 0)
+        cnv = jax.lax.dynamic_slice_in_dim(nv, c0, clen)
+        csdel = jax.lax.dynamic_slice_in_dim(sdel_v, c0, clen)
+        slot = jax.lax.broadcasted_iota(I32, (clen, D), 1)
+        in_table = slot < cnv[:, None]
+
+        if do_trans:
+            last = jnp.maximum(cnv - 1, 0)
+            bound = jnp.where(
+                cnv > 0,
+                jnp.take_along_axis(cl, last[:, None], 1)[:, 0] + fuzz, 0)
+            active = (cnv > 0) & ~csdel
+            # per-slot marks: 1 in-play, 2 eliminated; duplicate targets
+            # demote together so per-slot == the reference's per-vertex marks
+            mark = jnp.where(in_table & active[:, None], 1, 0).astype(jnp.int8)
+
+            def body(i, mark):
+                w = cv[:, i]
+                li = cl[:, i]
+                scan_ok = active & (i < cnv) & (mark[:, i] == 1)
+                wi = jnp.maximum(w, 0)
+                wn_v = nbr_v[wi]          # (clen, D) full-table gather
+                wn_l = nbr_l[wi]
+                # nbr_l is sorted per row, so the <=bound mask equals the
+                # reference's break-on-first-violation scan (asg.c:169)
+                within = wn_l + li[:, None] <= bound[:, None]
+                wn_valid = (jax.lax.broadcasted_iota(I32, (clen, D), 1)
+                            < nv[wi][:, None])
+                cand = within & wn_valid & scan_ok[:, None]
+                hit = (cv[:, :, None] == wn_v[:, None, :]) & cand[:, None, :]
+                demote = jnp.any(hit, axis=2) & (mark != 0)
+                return jnp.where(demote, jnp.int8(2), mark)
+
+            mark = jax.lax.fori_loop(0, D, body, mark)
+            elim = mark == 2
+        else:
+            elim = jnp.zeros((clen, D), bool)
+        live = in_table & ~elim
+
+        # multi-arcs: keep the first live slot per (row, target); the
+        # reference's count-down loop keeps the smallest slot (asg.c:108-115)
+        eq = cv[:, :, None] == cv[:, None, :]
+        earlier_live = (slot[:, None, :] < slot[:, :, None]) & live[:, None, :]
+        multi = jnp.any(eq & earlier_live, axis=2) & live
+        return elim, multi
+
+    elim, multi = jax.lax.map(chunk_a, c0s)
+    elim = elim.reshape(Vp, D)
+    multi = multi.reshape(Vp, D)
+    slot = jax.lax.broadcasted_iota(I32, (Vp, D), 1)
+    in_table = slot < nv[:, None]
+    n_trans = jnp.sum(elim & in_table)
+    n_multi = jnp.sum(multi)
+    live1 = in_table & ~elim & ~multi
+
+    # ---- stage B (chunked): asymmetric arcs need the global post-multi
+    # live table (complement v^1 -> u^1 must be live), so it runs as a
+    # second chunked sweep over the finished live1 ----
+    def chunk_b(c0):
+        cv = jax.lax.dynamic_slice_in_dim(nbr_v, c0, clen, 0)
+        clive = jax.lax.dynamic_slice_in_dim(live1, c0, clen, 0)
+        u_comp = ((jax.lax.broadcasted_iota(I32, (clen, D), 0) + c0) ^ 1)
+        wrow = jnp.maximum(cv ^ 1, 0)
+        comp_v = nbr_v[wrow]          # (clen, D, D)
+        comp_live = live1[wrow]
+        has_comp = jnp.any((comp_v == u_comp[:, :, None]) & comp_live, axis=2)
+        return clive & ~has_comp
+
+    asymm = jax.lax.map(chunk_b, c0s).reshape(Vp, D)
+    n_asymm = jnp.sum(asymm)
+    # Downstream masks see the post-symm live set when the graph will be
+    # symmetric at their apply point (the common case: trans > 0 forces a
+    # symm, asg.c:188-192); when trans reduced nothing, the reference
+    # leaves multi/asymm arcs in the graph until pop_bubble symms it, and
+    # the candidates must be classified on that unsymmetrized state.
+    live = (live1 & ~asymm) if do_symm else (in_table & ~elim)
+
+    nlive = jnp.sum(live, axis=1).astype(I32)
+
+    # ---- weak-overlap masks at every scheduled ratio (asg.c:83-101);
+    # ol is non-increasing in slot order, so "the suffix below the first
+    # live arc's threshold" equals a plain mask on non-first live slots ----
+    first_slot = jnp.argmax(live, axis=1)
+    first_ol = jnp.take_along_axis(nbr_ol, first_slot[:, None], 1)[:, 0]
+    is_first = slot == first_slot[:, None]
+    shorts = []
+    frac_cut = jnp.float32(_short_frac_cut())
+    for r in ratios:
+        part = first_ol.astype(jnp.float32) * jnp.float32(r)
+        base = jnp.floor(part)
+        thres = (base + jnp.where(part - base >= frac_cut, 1.0, 0.0))
+        thres = thres.astype(jnp.uint32).astype(I32)
+        m = live & (nlive >= 2)[:, None] & ~is_first & (nbr_ol < thres[:, None])
+        shorts.append(m)
+
+    # ---- unitig-end classification per vertex row (asg.c:204-221) ----
+    # code_row[r] = what asg_is_utg_end(v) returns when it inspects row r
+    # (i.e. for v = r^1): nv live arcs of r; when unique, its target's
+    # complement row must also have exactly one live arc to be MERGEABLE.
+    fl_v = jnp.take_along_axis(nbr_v, first_slot[:, None], 1)[:, 0]
+    fl_v = jnp.where(nlive > 0, fl_v, 0)
+    w_back = jnp.maximum(fl_v ^ 1, 0)
+    nw = nlive[w_back]
+    code_row = jnp.where(nlive == 0, 1,
+                         jnp.where(nlive > 1, 2,
+                                   jnp.where(nw != 1, 3, 0)))  # TIP/MO/MN/ME
+
+    # asg_extend(v, max_ext): evaluates is_utg_end(v^1) — which reads row
+    # cur — at cur = v, then follows the unique live target while MERGEABLE,
+    # max_ext evaluations total (asg.c:223-236)
+    vids = jnp.arange(Vp, dtype=I32)
+    cur = vids
+    final = jnp.full((Vp,), -1, I32)  # -1 = still extending
+    for _ in range(max_ext):
+        c = code_row[jnp.maximum(cur, 0)]
+        final = jnp.where((final < 0) & (c != 0), c, final)
+        nxt = fl_v[jnp.maximum(cur, 0)]
+        cur = jnp.where(final < 0, nxt, cur)
+    # loop exhausted while still MERGEABLE -> the reference returns 0
+    ext_code = jnp.where(final < 0, 0, final)
+
+    not_sdel = ~sdel_v
+    start_code = code_row[vids ^ 1]  # is_utg_end(v) inspects row v^1
+    tip_cand = not_sdel & (start_code == 1) & (ext_code != 0)
+    mn_start = not_sdel & (start_code == 3)
+    internal_cand = mn_start & (ext_code == 3)
+    biloop_cand = mn_start & (ext_code == 2)
+    bub_cand = not_sdel & (nlive >= 2)
+
+    # pack per-slot masks into one int32 bitfield for a single fetch
+    bits = (elim.astype(I32)
+            | (multi.astype(I32) << 1)
+            | (asymm.astype(I32) << 2))
+    for k, m in enumerate(shorts):
+        bits = bits | (m.astype(I32) << (3 + k))
+    cands = (tip_cand.astype(jnp.int8)
+             | (internal_cand.astype(jnp.int8) << 1)
+             | (biloop_cand.astype(jnp.int8) << 2)
+             | (bub_cand.astype(jnp.int8) << 3))
+    counters = jnp.stack([n_trans, n_multi, n_asymm]
+                         + [jnp.sum(m) for m in shorts])
+    return bits, cands, counters
+
+
+def detect(g: Graph, opt, *, do_trans: bool, do_symm: bool = True):
+    """Run the detection kernel on the current graph.  Returns a dict with
+    per-slot masks (numpy (n_arc,) bool in CSR arc order), candidate
+    vertex masks ((n_vtx,) bool), and counters."""
+    nbr_v, nbr_l, nbr_ol, nv, sdel_v, V, Vp, Dp = build_tables(g)
+    ratios = _ratio_schedule(opt)
+    n_chunks = 1
+    while Vp // n_chunks * Dp * Dp * 4 > _CHUNK_BYTES and n_chunks < Vp:
+        n_chunks *= 2
+    bits, cands, counters = _clean_kernel(
+        jnp.asarray(nbr_v), jnp.asarray(nbr_l), jnp.asarray(nbr_ol),
+        jnp.asarray(nv), jnp.asarray(sdel_v), Vp=Vp, Dp=Dp,
+        n_chunks=n_chunks, fuzz=int(opt.gap_fuzz), ratios=ratios,
+        max_ext=int(opt.max_ext), do_trans=do_trans, do_symm=do_symm)
+    bits, cands, counters = jax.device_get((bits, cands, counters))
+    rows = g.u.astype(np.int64)
+    slots = np.arange(g.n_arc, dtype=np.int64) - g.idx_start[rows]
+    arc_bits = bits[rows, slots] if g.n_arc else np.zeros(0, np.int32)
+    cands = cands[:V]
+    out = {
+        "trans": (arc_bits & 1).astype(bool),
+        "multi": ((arc_bits >> 1) & 1).astype(bool),
+        "asymm": ((arc_bits >> 2) & 1).astype(bool),
+        "shorts": [((arc_bits >> (3 + k)) & 1).astype(bool)
+                   for k in range(len(ratios))],
+        "ratios": ratios,
+        "tip": (cands & 1).astype(bool),
+        "internal": ((cands >> 1) & 1).astype(bool),
+        "biloop": ((cands >> 2) & 1).astype(bool),
+        "bubble": ((cands >> 3) & 1).astype(bool),
+        "counters": [int(x) for x in counters],
+    }
+    return out
+
+
+def _ratio_schedule(opt):
+    """The 4.3 + 4.5 drop-ratio sequence (main.c:167-188), float32 chain
+    like the reference's float ma_opt_t members."""
+    fmin = np.float32(opt.min_ovlp_drop_ratio)
+    fmax = np.float32(opt.max_ovlp_drop_ratio)
+    rs = []
+    for i in range(opt.n_rounds + 1):
+        rs.append(float(fmin + (fmax - fmin) / np.float32(opt.n_rounds)
+                        * np.float32(i)))
+    rs.append(float(np.float32(opt.final_ovlp_drop_ratio)))
+    return tuple(rs)

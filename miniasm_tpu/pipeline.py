@@ -238,17 +238,42 @@ def _emit(paf_fn, opt, outfmt, fn_reads, stage, out, d, hits,
         g = prebuilt
     else:
         g = graph_from_hits(opt, lens, dels, sub_s, sub_e, sub_del, hits)
-    if stage >= 6:
-        sys.stderr.write("[M::main] ===> Step 4.1: transitive reduction <===\n")
-        g = del_trans(g, opt.gap_fuzz)
 
     import os
 
     from .graph import finalize_native as fnat
 
-    if fnat.available() and not os.environ.get("MINIASM_TPU_NO_NATIVE"):
-        # native sequential-commit path (identical output to the Python
-        # passes below; cross-checked by tests)
+    fnat_ok = fnat.available() and not os.environ.get("MINIASM_TPU_NO_NATIVE")
+    mode = os.environ.get("MINIASM_TPU_CLEAN", "hybrid")
+
+    if mode == "hybrid":
+        # production path: every pass detected on device in one dispatch,
+        # order-dependent candidates committed host-side in reference scan
+        # order (SURVEY §7 plan; graph/hybrid.py)
+        from .graph.hybrid import clean_graph
+
+        g = clean_graph(g, opt, stage)
+        if outfmt == "ug":
+            sys.stderr.write("[M::main] ===> Step 5: generating unitigs <===\n")
+            if fnat_ok:
+                # native unitig chain walk only (stage<7 skips all cleaning)
+                _, ug = fnat.finalize_native(g, opt, 0, do_ug=True)
+            else:
+                ug = ug_gen(g)
+            if fn_reads:
+                ug_seq(ug, d, sub_s, sub_e, fn_reads)
+            ug_print(ug, d, sub_s, sub_e, out)
+            return ug
+        sg_print(g, d, sub_s, sub_e, out)
+        return g
+
+    if stage >= 6:
+        sys.stderr.write("[M::main] ===> Step 4.1: transitive reduction <===\n")
+        g = del_trans(g, opt.gap_fuzz)
+
+    if mode == "native" and fnat_ok:
+        # host C++ sequential oracle (identical output; cross-checked by
+        # tests against both the hybrid and Python paths)
         sys.stderr.write("[M::main] ===> Steps 4.2-4.5: graph cleaning (native) <===\n")
         g, ug = fnat.finalize_native(g, opt, stage, do_ug=(outfmt == "ug"))
         if outfmt == "ug":
