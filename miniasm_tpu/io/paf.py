@@ -139,7 +139,15 @@ def load_paf_python(fn: str, min_span: int, min_match: int,
 def no_cont_prefilter(fn: str, min_span: int, min_match: int,
                       max_hang: int, int_frac: float) -> SeqDict:
     """Step 0 (-R): one streaming pass recording clearly-contained reads in
-    an exclusion dict (reference ma_hit_no_cont, hit.c:38-68)."""
+    an exclusion dict (reference ma_hit_no_cont, hit.c:38-68).  Streams in
+    C++ when the native library is available."""
+    import os
+
+    if not os.environ.get("MINIASM_TPU_NO_NATIVE"):
+        d = _no_cont_native(fn, min_span, min_match, max_hang, int_frac)
+        if d is not None:
+            log("no_cont", "dropped %d contained reads", d.n_seq)
+            return d
     d = SeqDict()
 
     def collect(qn, ql, qs, qe, rev, tn, tl, ts, te, ml, bl):
@@ -158,4 +166,45 @@ def no_cont_prefilter(fn: str, min_span: int, min_match: int,
 
     _parse_lines_python(fn, min_span, min_match, None, collect)
     log("no_cont", "dropped %d contained reads", d.n_seq)
+    return d
+
+
+def _no_cont_native(fn, min_span, min_match, max_hang, int_frac):
+    """C++ -R pass (io/native/fastx.cpp ma_no_cont); None on any failure
+    so the caller falls back to the Python stream."""
+    import ctypes
+
+    try:
+        from .native import available
+        from .native.build import get_lib
+    except ImportError:
+        return None
+    if not available():
+        return None
+    lib = get_lib()
+
+    class _MaNoCont(ctypes.Structure):
+        _fields_ = [("n", ctypes.c_int64), ("names_bytes", ctypes.c_int64),
+                    ("names", ctypes.POINTER(ctypes.c_char)),
+                    ("lens", ctypes.POINTER(ctypes.c_uint32))]
+
+    lib.ma_no_cont.restype = ctypes.POINTER(_MaNoCont)
+    lib.ma_no_cont.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                               ctypes.c_int64, ctypes.c_int64,
+                               ctypes.c_double]
+    lib.ma_no_cont_free.argtypes = [ctypes.POINTER(_MaNoCont)]
+    res = lib.ma_no_cont(fn.encode(), min_span, min_match, max_hang,
+                         float(int_frac))
+    if not res:
+        raise FileNotFoundError(2, "could not open PAF file", fn)
+    r = res.contents
+    n = int(r.n)
+    d = SeqDict()
+    if n:
+        blob = ctypes.string_at(r.names, int(r.names_bytes))
+        names = blob.decode("latin-1").split("\0")[:n]
+        lens = np.ctypeslib.as_array(r.lens, shape=(n,)).copy()
+        for nm, ln in zip(names, lens):
+            d.put(nm, int(ln))
+    lib.ma_no_cont_free(res)
     return d

@@ -180,13 +180,24 @@ def run(paf_fn: str, opt: Opt, *, outfmt: str = "ug", fn_reads: str | None = Non
 def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir):
     """Production ug/sg path: dual-sided device kernel over unmirrored
     originals (select/fused2.py), per-stage reference counters restored."""
+    import os
+    import time
+
     from .io.native.pafload import load_hits_v2
     from .select.fused2 import select_build2
     from .graph.asg import graph_from_arcs
 
+    timing = os.environ.get("MINIASM_TPU_TIMING")
+    t0 = time.time()
+
+    def tick(name):
+        if timing:
+            sys.stderr.write("[T::%s] +%.3f\n" % (name, time.time() - t0))
+
     colmat_dev, d, h3 = load_hits_v2(
         paf_fn, opt.min_span, opt.min_match, excl=excl, bi_dir=bi_dir,
         min_iden=float(opt.min_iden))
+    tick("load+upload")
     log("hit_read", "read %d hits; stored %d hits and %d sequences (%d bp)",
         h3.n_lines, h3.n_mirror, d.n_seq,
         int(np.sum(d.lens_array(), dtype=np.uint64)))
@@ -195,6 +206,7 @@ def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir):
     arcs, md, counts = select_build2(
         colmat_dev, d, opt, bi_dir=bi_dir, max_len=h3.max_len,
         on_dispatch=h3.build_rank)
+    tick("select+fetch")
     n_rem1, n_cut1, n_flt, n_rem2, n_cut2, m_cont, _ = counts
     log("hit_sub", "%d query sequences remain after sub", n_rem1)
     log("hit_cut", "%d hits remain after cut", n_cut1)
@@ -216,8 +228,11 @@ def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir):
     g, sub_s, sub_e, sub_del = graph_from_arcs(
         d, md["sub_s"], md["sub_e"], md["sub_del"], md["cont"],
         md["used"], md["pal"], arcs, m_hits=m_cont)
-    return _emit(paf_fn, opt, outfmt, fn_reads, stage, out, d, None,
-                 sub_s, sub_e, sub_del, prebuilt=g)
+    tick("graph_build")
+    r = _emit(paf_fn, opt, outfmt, fn_reads, stage, out, d, None,
+              sub_s, sub_e, sub_del, prebuilt=g)
+    tick("emit_done")
+    return r
 
 
 def _emit(paf_fn, opt, outfmt, fn_reads, stage, out, d, hits,

@@ -200,13 +200,15 @@ def _cut_pass(qid, tid, cqs, cqe, cts, cte, rev, words, pack_se: bool,
 
 @functools.partial(jax.jit, static_argnames=(
     "n_seq_cap", "min_span", "min_dp", "max_hang", "int_frac", "min_ovlp",
-    "bi_dir", "pack_se", "arc_cap"))
+    "bi_dir", "pack_se", "arc_cap", "pack_io"))
 def _select2_kernel(colmat, *, n_seq_cap, min_span, min_dp, max_hang,
-                    int_frac, min_ovlp, bi_dir, pack_se, arc_cap):
-    """colmat: (7, N) int32 originals [qid qs qe tid ts te flags], flags
-    bit0=valid bit1=rev bit2=iden_ok; padding rows have qid=n_seq_cap+1,
-    flags=0."""
-    qid, qs, qe, tid, ts, te, fl = [colmat[i] for i in range(7)]
+                    int_frac, min_ovlp, bi_dir, pack_se, arc_cap, pack_io):
+    """colmat: (7, N) int32 or uint16 originals [qid qs qe tid ts te flags],
+    flags bit0=valid bit1=rev bit2=iden_ok; padding rows have
+    qid=n_seq_cap+1, flags=0.  pack_io (coordinates < 65535 AND
+    n_seq_cap <= 32768, so vertices fit u16 too) packs the fetched arc and
+    meta rows two-per-word to halve the D2H transfer."""
+    qid, qs, qe, tid, ts, te, fl = [colmat[i].astype(I32) for i in range(7)]
     T = n_seq_cap + 2
     valid0 = (fl & 1) != 0
     rev = (fl >> 1) & 1
@@ -321,13 +323,22 @@ def _select2_kernel(colmat, *, n_seq_cap, min_span, min_dp, max_hang,
     av = jnp.concatenate([cq["v"], cm["v"]])[idx]
     aol = jnp.concatenate([cq["ol"], cm["ol"]])[idx]
     ok = jnp.arange(arc_cap, dtype=I32) < n_arc
-    arcmat = jnp.stack([jnp.where(ok, au, 0), jnp.where(ok, al, 0),
-                        jnp.where(ok, av, 0), jnp.where(ok, aol, 0),
-                        jnp.where(ok, idx.astype(I32), -1)])
-
-    meta = jnp.stack([ms, me, mdel.astype(I32), cont.astype(I32),
-                      used.astype(I32), pal.astype(I32), dp_read,
-                      has_flt.astype(I32), s1, e1])[:, :n_seq_cap + 1]
+    au = jnp.where(ok, au, 0)
+    al = jnp.where(ok, al, 0)
+    av = jnp.where(ok, av, 0)
+    aol = jnp.where(ok, aol, 0)
+    aidx = jnp.where(ok, idx.astype(I32), -1)
+    flags = (mdel.astype(I32) | (cont.astype(I32) << 1)
+             | (used.astype(I32) << 2) | (pal.astype(I32) << 3)
+             | (has_flt.astype(I32) << 4))
+    if pack_io:
+        arcmat = jnp.stack([(au << 16) | av, (al << 16) | aol, aidx])
+        meta = jnp.stack([(ms << 16) | me, (s1 << 16) | e1, dp_read,
+                          flags])[:, :n_seq_cap + 1]
+    else:
+        arcmat = jnp.stack([au, al, av, aol, aidx])
+        meta = jnp.stack([ms, me, s1, e1, dp_read,
+                          flags])[:, :n_seq_cap + 1]
     counts = jnp.stack([n_rem1, n_cut1, n_flt, n_rem2, n_cut2,
                         m_contained, n_arc])
     return arcmat, meta, counts
@@ -349,6 +360,7 @@ def select_build2(colmat_dev, d, opt, *, bi_dir: bool, max_len: int,
     n_seq = d.n_seq
     n_seq_cap = _next_pow2(max(n_seq, 1))
     pack_se = bool(max_len < 65535)
+    pack_io = pack_se and n_seq_cap <= 32768
     cap = colmat_dev.shape[1]
     arc_cap = min(_next_pow2(max(65536, 4 * n_seq_cap)), 2 * _next_pow2(cap))
     dispatched = False
@@ -357,7 +369,7 @@ def select_build2(colmat_dev, d, opt, *, bi_dir: bool, max_len: int,
             colmat_dev, n_seq_cap=n_seq_cap, min_span=opt.min_span,
             min_dp=opt.min_dp, max_hang=opt.max_hang,
             int_frac=float(opt.int_frac), min_ovlp=opt.min_ovlp,
-            bi_dir=bi_dir, pack_se=pack_se, arc_cap=arc_cap)
+            bi_dir=bi_dir, pack_se=pack_se, arc_cap=arc_cap, pack_io=pack_io)
         if not dispatched and on_dispatch is not None:
             on_dispatch()
             dispatched = True
@@ -366,19 +378,49 @@ def select_build2(colmat_dev, d, opt, *, bi_dir: bool, max_len: int,
         if n_arc <= arc_cap:
             break
         arc_cap = _next_pow2(n_arc)
-    arcs = {
-        "u": arcmat[0, :n_arc].astype(np.int32),
-        "l": arcmat[1, :n_arc].astype(np.int32),
-        "v": arcmat[2, :n_arc].astype(np.int32),
-        "ol": arcmat[3, :n_arc].astype(np.int32),
-        "idx": arcmat[4, :n_arc].astype(np.int64),
-    }
-    meta = meta[:, :n_seq]
-    md = {
-        "sub_s": meta[0].astype(np.uint32), "sub_e": meta[1].astype(np.uint32),
-        "sub_del": meta[2].astype(bool), "cont": meta[3].astype(bool),
-        "used": meta[4].astype(bool), "pal": meta[5].astype(bool),
-        "dp": meta[6].astype(np.int64), "has_flt": meta[7].astype(bool),
-        "s1": meta[8].astype(np.int64), "e1": meta[9].astype(np.int64),
-    }
+    if pack_io:
+        uv = arcmat[0, :n_arc].astype(np.uint32)
+        lol = arcmat[1, :n_arc].astype(np.uint32)
+        arcs = {
+            "u": (uv >> 16).astype(np.int32),
+            "v": (uv & 0xFFFF).astype(np.int32),
+            "l": (lol >> 16).astype(np.int32),
+            "ol": (lol & 0xFFFF).astype(np.int32),
+            "idx": arcmat[2, :n_arc].astype(np.int64),
+        }
+        meta = meta[:, :n_seq]
+        sme = meta[0].astype(np.uint32)
+        s1e1 = meta[1].astype(np.uint32)
+        dp = meta[2]
+        flags = meta[3]
+        md = {
+            "sub_s": sme >> 16, "sub_e": sme & 0xFFFF,
+            "s1": (s1e1 >> 16).astype(np.int64),
+            "e1": (s1e1 & 0xFFFF).astype(np.int64),
+        }
+    else:
+        arcs = {
+            "u": arcmat[0, :n_arc].astype(np.int32),
+            "l": arcmat[1, :n_arc].astype(np.int32),
+            "v": arcmat[2, :n_arc].astype(np.int32),
+            "ol": arcmat[3, :n_arc].astype(np.int32),
+            "idx": arcmat[4, :n_arc].astype(np.int64),
+        }
+        meta = meta[:, :n_seq]
+        dp = meta[4]
+        flags = meta[5]
+        md = {
+            "sub_s": meta[0].astype(np.uint32),
+            "sub_e": meta[1].astype(np.uint32),
+            "s1": meta[2].astype(np.int64),
+            "e1": meta[3].astype(np.int64),
+        }
+    md.update({
+        "sub_del": (flags & 1).astype(bool),
+        "cont": ((flags >> 1) & 1).astype(bool),
+        "used": ((flags >> 2) & 1).astype(bool),
+        "pal": ((flags >> 3) & 1).astype(bool),
+        "dp": dp.astype(np.int64),
+        "has_flt": ((flags >> 4) & 1).astype(bool),
+    })
     return arcs, md, [int(x) for x in counts]

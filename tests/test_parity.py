@@ -57,6 +57,22 @@ def test_noisy_pipeline_parity(ref_miniasm, sim_noisy, fmt):
     assert our_out == ref_out
 
 
+def test_noisy_prefilter_parity(ref_miniasm, sim_noisy):
+    """-R on degraded data (the reference drops 23 reads here), driving
+    the native C++ prefilter through a nontrivial exclusion set."""
+    ref_out = run_ref(ref_miniasm, ["-R", sim_noisy["paf"]])
+    our_out = run_ours(["-R", sim_noisy["paf"]])
+    assert our_out == ref_out
+
+
+def test_noisy_sequences_parity(ref_miniasm, sim_noisy):
+    """-f on degraded data: splices through the native FASTX reader with
+    reverse-complement segments present."""
+    ref_out = run_ref(ref_miniasm, ["-f", sim_noisy["fasta"], sim_noisy["paf"]])
+    our_out = run_ours(["-f", sim_noisy["fasta"], sim_noisy["paf"]])
+    assert our_out == ref_out
+
+
 def test_noisy_counters_nonzero(ref_miniasm, sim_noisy):
     """Meta-test: the noisy fixture must keep exercising the cleaning
     passes — if the simulator or dropout parameters drift and the counters
