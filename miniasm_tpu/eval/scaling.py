@@ -1,0 +1,86 @@
+"""Multi-device scaling harness: overlaps/s at 1..N shards.
+
+BASELINE.md's multi-host target is >=70% overlaps/s efficiency at 2 hosts.
+Real ICI cannot be exercised in this environment (one physical chip), so
+this harness measures the end-to-end sharded selection step — mirror
+all_to_all, owner-masked psum combines, per-shard sweeps — on a virtual
+device mesh, which prices the collective/compile overhead of the sharding
+design; run it unchanged on a real v5e slice for the true number.
+
+Usage: python -m miniasm_tpu.eval.scaling [n_devices ...]
+Prints one JSON line: {"overlaps_per_s": {n: rate}, "efficiency": {n: e}}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def measure(paf_fn: str, n_devices_list, *, repeats: int = 3) -> dict:
+    import io
+
+    from ..config import Opt
+    from ..parallel.full import run_sharded
+    from ..parallel.mesh import make_mesh
+    from ..pipeline import run as run_single
+
+    opt = Opt()
+    rates: dict[int, float] = {}
+    n_mirror = None
+    for n in n_devices_list:
+        times = []
+        for _ in range(repeats + 1):  # first run compiles
+            buf = io.StringIO()
+            t0 = time.time()
+            if n == 1:
+                run_single(paf_fn, opt, outfmt="ug", out=buf)
+            else:
+                run_sharded(paf_fn, opt, make_mesh(n), outfmt="ug", out=buf)
+            times.append(time.time() - t0)
+        if n_mirror is None:
+            # overlaps processed = mirrored hit count (the reference's unit)
+            from ..io.paf import load_paf
+
+            load = load_paf(paf_fn, opt.min_span, opt.min_match)
+            import numpy as np
+
+            n_mirror = len(load.qid) + int(np.sum(load.qid != load.tid))
+        rates[n] = n_mirror / min(times[1:])
+    base = rates.get(1)
+    eff = {n: (r / (base * n) if base else 0.0) for n, r in rates.items()}
+    return {"overlaps": n_mirror,
+            "overlaps_per_s": {str(n): round(r) for n, r in rates.items()},
+            "efficiency": {str(n): round(e, 3) for n, e in eff.items()}}
+
+
+def main(argv):
+    import os
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    ns = [int(a) for a in argv[1:]] or [1, 2, 4, 8]
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags +
+                                   " --xla_force_host_platform_device_count=%d"
+                                   % max(ns)).strip()
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    paf = os.environ.get("SCALING_PAF")
+    if not paf:
+        import tempfile
+
+        from .simulate import simulate, write_paf
+
+        sim = simulate(genome_len=1_000_000, coverage=30.0, seed=11)
+        paf = tempfile.mktemp(suffix=".paf")
+        write_paf(sim, paf)
+    print(json.dumps(measure(paf, ns)))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))

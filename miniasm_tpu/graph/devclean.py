@@ -253,18 +253,35 @@ def _clean_kernel(nbr_v, nbr_l, nbr_ol, nv, sdel_v, *, Vp, Dp, n_chunks,
     return bits, cands, counters
 
 
-def detect(g: Graph, opt, *, do_trans: bool, do_symm: bool = True):
+def detect(g: Graph, opt, *, do_trans: bool, do_symm: bool = True,
+           mesh=None):
     """Run the detection kernel on the current graph.  Returns a dict with
     per-slot masks (numpy (n_arc,) bool in CSR arc order), candidate
-    vertex masks ((n_vtx,) bool), and counters."""
+    vertex masks ((n_vtx,) bool), and counters.
+
+    With a mesh, the (Vp, Dp) vertex tables are row-sharded over the mesh
+    and the same jitted kernel runs SPMD — XLA inserts the all_gathers for
+    the cross-row neighbor reads and psums for the counters."""
     nbr_v, nbr_l, nbr_ol, nv, sdel_v, V, Vp, Dp = build_tables(g)
     ratios = _ratio_schedule(opt)
     n_chunks = 1
     while Vp // n_chunks * Dp * Dp * 4 > _CHUNK_BYTES and n_chunks < Vp:
         n_chunks *= 2
+    tabs = [jnp.asarray(nbr_v), jnp.asarray(nbr_l), jnp.asarray(nbr_ol),
+            jnp.asarray(nv), jnp.asarray(sdel_v)]
+    if mesh is not None and Vp >= mesh.devices.size:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_sh = mesh.devices.size
+        if n_chunks % n_sh:  # chunked lax.map must split evenly per shard
+            n_chunks = max(n_chunks, n_sh)
+        ax = mesh.axis_names[0]
+        row = NamedSharding(mesh, P(ax))
+        tabs = [jax.device_put(np.asarray(t),
+                               NamedSharding(mesh, P(ax, None))
+                               if t.ndim == 2 else row) for t in tabs]
     bits, cands, counters = _clean_kernel(
-        jnp.asarray(nbr_v), jnp.asarray(nbr_l), jnp.asarray(nbr_ol),
-        jnp.asarray(nv), jnp.asarray(sdel_v), Vp=Vp, Dp=Dp,
+        *tabs, Vp=Vp, Dp=Dp,
         n_chunks=n_chunks, fuzz=int(opt.gap_fuzz), ratios=ratios,
         max_ext=int(opt.max_ext), do_trans=do_trans, do_symm=do_symm)
     bits, cands, counters = jax.device_get((bits, cands, counters))

@@ -52,20 +52,21 @@ class _Cleaner:
     """Holds the graph + the currently-valid detection; re-detects after
     mutations."""
 
-    def __init__(self, g: Graph, opt, do_trans: bool):
+    def __init__(self, g: Graph, opt, do_trans: bool, mesh=None):
         self.g = g
         self.opt = opt
+        self.mesh = mesh
         # symm_mode: whether detection chains candidate masks through the
         # multi/asymm live set.  True except in the rare trans==0 window
         # where the reference leaves the graph unsymmetrized (see
         # devclean._clean_kernel's do_symm).
         self.symm_mode = True
-        self.det = devclean.detect(g, opt, do_trans=do_trans)
+        self.det = devclean.detect(g, opt, do_trans=do_trans, mesh=mesh)
         self.trans_done = not do_trans
 
     def redetect(self):
         self.det = devclean.detect(self.g, self.opt, do_trans=False,
-                                   do_symm=self.symm_mode)
+                                   do_symm=self.symm_mode, mesh=self.mesh)
 
     # ---- order-independent mask application ----
 
@@ -296,11 +297,13 @@ class _Cleaner:
         return n_pop
 
 
-def clean_graph(g: Graph, opt, stage: int) -> Graph:
-    """Steps 4.1-4.5 (main.c:156-188) over the device-detection driver."""
+def clean_graph(g: Graph, opt, stage: int, mesh=None) -> Graph:
+    """Steps 4.1-4.5 (main.c:156-188) over the device-detection driver.
+    With a mesh, detection runs with its vertex tables row-sharded over
+    the mesh devices (XLA inserts the collectives)."""
     import sys
 
-    cl = _Cleaner(g, opt, do_trans=stage >= 6)
+    cl = _Cleaner(g, opt, do_trans=stage >= 6, mesh=mesh)
     if stage >= 6:
         sys.stderr.write("[M::main] ===> Step 4.1: transitive reduction <===\n")
         n = cl.apply_trans()

@@ -218,11 +218,13 @@ class HitsV2:
 
 
 def load_hits_v2(fn, min_span, min_match, excl=None, bi_dir=True,
-                 min_iden=0.05):
+                 min_iden=0.05, upload=True):
     """v2 native loader: parse + filter + intern in C++ (reference
     hit.c:70-107 without the mirror/sort), upload the original columns,
     keep the exact mirrored-order rank table host-side.  Returns
-    (colmat_dev, SeqDict, HitsV2 handle)."""
+    (colmat_dev, SeqDict, HitsV2 handle).  With upload=False the colmat is
+    returned as a numpy view over the native buffer (the caller must copy
+    what it needs before freeing the handle)."""
     import jax
 
     from .build import get_lib
@@ -248,6 +250,8 @@ def load_hits_v2(fn, min_span, min_match, excl=None, bi_dir=True,
     h = HitsV2(lib, res)
     colmat = h.colmat()
     d = h.seqdict()
+    if not upload:
+        return colmat, d, h
     # Halve the H2D transfer when every column fits uint16 (coordinates
     # bounded by max_len, ids by the padding sentinel n_seq_cap+1, flags
     # by 7); the kernel upcasts on device.  The tunnel moves ~70 MB/s, so

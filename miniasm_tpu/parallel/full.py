@@ -1,0 +1,383 @@
+"""End-to-end multi-device pipeline: PAF -> GFA over a 1-D read mesh.
+
+Sharding model (SURVEY.md §2.4; the reference is single-process so this
+layer is new architecture, not a port):
+
+  - reads are partitioned into contiguous id blocks; shard k owns reads
+    [k*block, (k+1)*block).  Every hit row lives at its QUERY's owner, so
+    the coverage-sweep events of a read are all shard-local and the sweep
+    needs no communication;
+  - original records are uploaded to their query's owner; the implied
+    bi-directional mirror (reference hit.c:92-98) is built ON DEVICE and
+    routed to the mirror query's owner with one `all_to_all` per step.
+    Bucket capacities are computed exactly on the host from the (src, dst)
+    histogram, so nothing is ever dropped (no overflow-retry path needed);
+  - per-read tables (trim intervals, containment/used/palindrome marks)
+    are combined with an owner-masked `psum`: each shard zeroes every
+    entry outside its own block before the reduce, making the disjoint-
+    support assumption explicit instead of relying on pmax-over-zeros;
+  - scalar stage counters are `psum`'d (the reference's log counters);
+  - the surviving arcs return with their global emission index and the
+    host restores the reference's exact arc insertion order (the ksort
+    radix permutation of the mirrored hit array), so the downstream graph
+    -> unitig -> GFA path is byte-identical to the single-device run;
+  - graph cleaning reuses the device detection kernel with its vertex
+    tables row-sharded over the same mesh (devclean.detect(mesh=...));
+    XLA inserts the all_gathers for the neighbor-of-neighbor reads.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from ..config import Opt
+from ..utils.timers import log
+
+HIT_ROWS = 8  # qid qs qe tid ts te flags gid
+
+
+def _next_pow2(x: int) -> int:
+    n = 1
+    while n < x:
+        n <<= 1
+    return n
+
+
+def _load_originals(paf_fn, opt, excl):
+    """Host load of the unmirrored originals: (8, n) int32 rows in parse
+    order (gid row = 2*j so mirrors can use 2*j+1), the SeqDict, and the
+    line/hit totals.  Uses the native loader when available."""
+    try:
+        from ..io.native import available
+    except ImportError:
+        available = lambda: False  # noqa: E731
+    if available():
+        from ..io.native.pafload import load_hits_v2
+
+        # keep the columns on host: partitioning happens before upload
+        cm, d, h3 = load_hits_v2(
+            paf_fn, opt.min_span, opt.min_match, excl=excl, bi_dir=True,
+            min_iden=float(opt.min_iden), upload=False)
+        n = h3.n_orig
+        n_lines, n_mirror = h3.n_lines, h3.n_mirror
+        cols = cm[:, :n].copy()
+        h3.free()
+    else:
+        from ..io.paf import load_paf
+
+        load = load_paf(paf_fn, opt.min_span, opt.min_match, excl=excl)
+        d = load.d
+        n = len(load.qid)
+        iden = ~(load.ml.astype(np.float32)
+                 < load.bl.astype(np.float32) * np.float32(opt.min_iden))
+        flags = (np.ones(n, np.int32) | (load.rev.astype(np.int32) << 1)
+                 | (iden.astype(np.int32) << 2))
+        cols = np.stack([load.qid.astype(np.int32),
+                         load.qs.astype(np.int32), load.qe.astype(np.int32),
+                         load.tid.astype(np.int32),
+                         load.ts.astype(np.int32), load.te.astype(np.int32),
+                         flags])
+        n_lines = load.n_lines
+        n_mirror = n + int(np.sum(load.qid != load.tid))
+    gid = (np.arange(cols.shape[1], dtype=np.int64) * 2).astype(np.int32)
+    return np.vstack([cols, gid[None, :]]), d, n_lines, n_mirror
+
+
+def _mirror_ranks(cols, d):
+    """rank[gid] = position of that (original, side) row in the reference's
+    radix-sorted mirrored hit array (ksort.h tie permutation via
+    utils.exact_sort), used to restore the exact arc insertion order."""
+    from ..utils.exact_sort import radix_argsort
+
+    qid = cols[0].astype(np.uint64)
+    qs = cols[1].astype(np.uint64)
+    tid = cols[3].astype(np.uint64)
+    ts = cols[4].astype(np.uint64)
+    n = qid.shape[0]
+    not_self = cols[0] != cols[3]
+    keys = np.empty(2 * n, dtype=np.uint64)
+    gids = np.empty(2 * n, dtype=np.int64)
+    keys[0::2] = (qid << np.uint64(32)) | qs
+    keys[1::2] = (tid << np.uint64(32)) | ts
+    gids[0::2] = np.arange(n, dtype=np.int64) * 2
+    gids[1::2] = np.arange(n, dtype=np.int64) * 2 + 1
+    sel = np.ones(2 * n, dtype=bool)
+    sel[1::2] = not_self  # self matches are not mirrored (hit.c:92)
+    keys = keys[sel]
+    gids = gids[sel]
+    order = radix_argsort(keys)
+    rank = np.full(2 * n, -1, dtype=np.int64)
+    rank[gids[order]] = np.arange(len(order), dtype=np.int64)
+    return rank
+
+
+def _partition(cols, n_seq, n_shards):
+    """Assign each original to its query's owner block; return the stacked
+    (8, n_shards * per) host matrix (padding rows flagged invalid), the
+    per-shard width, the block size, and the exact mirror bucket cap."""
+    block = -(-max(n_seq, 1) // n_shards)
+    owner = cols[0] // block
+    per = max(int(np.bincount(owner, minlength=n_shards).max()) if cols.shape[1]
+              else 1, 1)
+    per = _next_pow2(per)
+    out = np.zeros((HIT_ROWS, n_shards * per), dtype=np.int32)
+    for k in range(n_shards):
+        sel = owner == k
+        nk = int(np.sum(sel))
+        out[:, k * per:k * per + nk] = cols[:, sel]
+    # exact all_to_all bucket sizes: mirrors of shard-src originals whose
+    # target-owner is dst
+    not_self = cols[0] != cols[3]
+    dst = cols[3] // block
+    hist = np.zeros((n_shards, n_shards), dtype=np.int64)
+    np.add.at(hist, (owner[not_self], dst[not_self]), 1)
+    cap = int(hist.max()) if hist.size else 1
+    cap = _next_pow2(max(cap, 1))
+    return out, per, block, cap
+
+
+def _make_select_step(mesh, n_seq, n_seq_cap, opt, *, per, block, cap,
+                      pack_se, arc_cap):
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from ..core.hit2arc import hit2arc, MA_HT_QCONT, MA_HT_TCONT
+    from ..select.fused2 import _sub_pass, _pack_tab, _cut_pass
+
+    I32 = jnp.int32
+    axis = mesh.axis_names[0]
+    n_sh = mesh.devices.size
+    T = n_seq_cap + 2
+    dump = T - 1
+
+    def own_mask():
+        k = jax.lax.axis_index(axis)
+        ids = jnp.arange(T, dtype=I32)
+        return (ids >= k * block) & (ids < jnp.minimum((k + 1) * block,
+                                                       n_seq))
+
+    def combine_tab(x):
+        m = own_mask()
+        return jax.lax.psum(jnp.where(m, x, jnp.zeros_like(x)), axis)
+
+    def combine_or(x):
+        return jax.lax.psum(x.astype(I32), axis) > 0
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(None, axis),),
+        out_specs=(P(None, axis), P(None), P()),
+    )
+    def step(colmat):
+        qid, qs, qe, tid, ts, te, fl, gid = [colmat[i] for i in range(8)]
+        valid0 = (fl & 1) != 0
+        not_self0 = qid != tid
+
+        # ---- mirror + all_to_all to the mirror query's owner ----
+        m = jnp.stack([tid, ts, te, qid, qs, qe, fl, gid | 1])
+        mdest = jnp.where(valid0 & not_self0, tid // block, n_sh)
+        L = qid.shape[0]
+        iota = jnp.arange(L, dtype=I32)
+        order = jax.lax.sort((mdest, iota), dimension=0, is_stable=True,
+                             num_keys=1)[1]
+        sdest = mdest[order]
+        sm = m[:, order]
+        first = jnp.searchsorted(sdest, jnp.arange(n_sh + 1, dtype=I32),
+                                 side="left").astype(I32)
+        slot = iota - first[jnp.minimum(sdest, n_sh)]
+        flat = jnp.where(sdest < n_sh, sdest * cap + slot, n_sh * cap)
+        send = jnp.zeros((HIT_ROWS, n_sh * cap + 1), dtype=I32)
+        send = send.at[:, flat].set(sm)
+        svalid = jnp.zeros((n_sh * cap + 1,), dtype=jnp.bool_)
+        svalid = svalid.at[flat].set(sdest < n_sh)
+        send = send[:, :n_sh * cap].reshape(HIT_ROWS, n_sh, cap)
+        svalid = svalid[:n_sh * cap].reshape(n_sh, cap)
+        recv = jax.lax.all_to_all(send, axis, split_axis=1, concat_axis=1)
+        rvalid = jax.lax.all_to_all(svalid, axis, split_axis=0, concat_axis=0)
+
+        # ---- merged one-sided rows (== the reference's mirrored array) ----
+        cols = [jnp.concatenate([c, r]) for c, r in
+                zip((qid, qs, qe, tid, ts, te, fl, gid),
+                    [recv.reshape(HIT_ROWS, -1)[i] for i in range(HIT_ROWS)])]
+        qid, qs, qe, tid, ts, te, fl, gid = cols
+        vq = jnp.concatenate([valid0, rvalid.reshape(-1)])
+        vm = jnp.zeros_like(vq)
+        # neutralize padding rows for the table scatters
+        qid = jnp.where(vq, qid, dump)
+        rev = (fl >> 1) & 1
+        iden = ((fl >> 2) & 1).astype(bool)
+        not_self = qid != tid
+
+        # ---- Step 2: crude sweep + cut (main.c:122-125) ----
+        s1, e1, d1, n_rem1 = _sub_pass(qid, tid, qs, qe, ts, te, vq, vm,
+                                       iden, not_self, T, opt.min_dp, 0)
+        n_rem1 = jax.lax.psum(n_rem1, axis)
+        s1 = combine_tab(s1)
+        e1 = combine_tab(e1)
+        d1 = combine_or(d1)
+        w1 = _pack_tab(s1, e1, d1, pack_se)
+        keep, qs, qe, ts, te = _cut_pass(qid, tid, qs, qe, ts, te, rev, w1,
+                                         pack_se, opt.min_span)
+        vq = vq & keep
+        n_cut1 = jax.lax.psum(jnp.sum(vq), axis)
+
+        # ---- arc filter, relaxed params (hit.c:195-216) ----
+        sl1 = e1 - s1
+        slq = sl1[qid]
+        slt = sl1[jnp.minimum(tid, dump)]
+        cq = hit2arc(qid, qs, qe, tid, ts, te, rev, slq, slt,
+                     int(opt.max_hang * 1.5), 0.5, int(opt.min_ovlp * 0.5))
+        r1 = cq["r"]
+        vq = vq & ((r1 >= 0) | (r1 == MA_HT_QCONT) | (r1 == MA_HT_TCONT))
+        n_flt = jax.lax.psum(jnp.sum(vq), axis)
+        dpv = jnp.where(r1 >= 0, r1,
+                        jnp.where(r1 == MA_HT_QCONT, slq, slt))
+        dp_read = jnp.zeros(T, I32).at[
+            jnp.where(vq, qid, dump)].add(jnp.where(vq, dpv, 0))
+        dp_read = combine_tab(dp_read)
+        has_flt = jnp.zeros(T, bool).at[jnp.where(vq, qid, dump)].set(vq)
+        has_flt = has_flt.at[dump].set(False)
+        has_flt = combine_or(has_flt)
+
+        # ---- Step 3: fine sweep + cut + merge (main.c:132-135) ----
+        s2, e2, d2, n_rem2 = _sub_pass(qid, tid, qs, qe, ts, te, vq, vm,
+                                       iden, not_self, T, opt.min_dp,
+                                       opt.min_span // 2)
+        n_rem2 = jax.lax.psum(n_rem2, axis)
+        s2 = combine_tab(s2)
+        e2 = combine_tab(e2)
+        d2 = combine_or(d2)
+        w2 = _pack_tab(s2, e2, d2, pack_se)
+        keep, qs, qe, ts, te = _cut_pass(qid, tid, qs, qe, ts, te, rev, w2,
+                                         pack_se, opt.min_span)
+        vq = vq & keep
+        n_cut2 = jax.lax.psum(jnp.sum(vq), axis)
+
+        ms = s1 + s2
+        me = s1 + e2
+        mdel = d1 | d2
+
+        # ---- containment marks + final classification (hit.c:225-236,
+        #      asm.c:9-39) ----
+        sl2 = e2 - s2
+        slq = sl2[qid]
+        slt = sl2[jnp.minimum(tid, dump)]
+        cq = hit2arc(qid, qs, qe, tid, ts, te, rev, slq, slt,
+                     opt.max_hang, float(opt.int_frac), opt.min_ovlp)
+        rq = jnp.where(vq, cq["r"], 0)
+        cont = jnp.zeros(T, bool)
+        cont = cont.at[jnp.where(rq == MA_HT_QCONT, qid, dump)].set(True)
+        cont = cont.at[jnp.where(rq == MA_HT_TCONT,
+                                 jnp.minimum(tid, dump), dump)].set(True)
+        cont = cont.at[dump].set(False)
+        cont = combine_or(cont)
+
+        used = jnp.zeros(T, bool)
+        used = used.at[jnp.where(vq, qid, dump)].set(vq)
+        used = used.at[jnp.where(vq, jnp.minimum(tid, dump), dump)].set(vq)
+        used = used.at[dump].set(False)
+        used = combine_or(used)
+
+        is_self = qid == tid
+        pal_rows = vq & (cq["r"] >= 0) & is_self & (qs == ts) & (qe == te) \
+            & (rev != 0)
+        pal = jnp.zeros(T, bool).at[
+            jnp.where(pal_rows, qid, dump)].set(pal_rows)
+        pal = pal.at[dump].set(False)
+        pal = combine_or(pal)
+
+        read_alive = used & ~mdel & ~cont
+        aq = read_alive[qid]
+        at = read_alive[jnp.minimum(tid, dump)]
+        m_cont = jax.lax.psum(jnp.sum(vq & aq & at), axis)
+
+        arc_rows = vq & (cq["r"] >= 0) & not_self & aq & at
+        n_arc_local = jnp.sum(arc_rows)
+        n = qid.shape[0]
+        idx = jnp.nonzero(arc_rows, size=arc_cap, fill_value=n - 1)[0]
+        ok = jnp.arange(arc_cap, dtype=I32) < n_arc_local
+        arcmat = jnp.stack([
+            jnp.where(ok, cq["u"][idx], 0), jnp.where(ok, cq["l"][idx], 0),
+            jnp.where(ok, cq["v"][idx], 0), jnp.where(ok, cq["ol"][idx], 0),
+            jnp.where(ok, gid[idx], -1)])
+
+        meta = jnp.stack([ms, me, mdel.astype(I32), cont.astype(I32),
+                          used.astype(I32), pal.astype(I32), dp_read,
+                          has_flt.astype(I32), s1, e1])[:, :n_seq_cap + 1]
+        counts = jnp.stack([n_rem1, n_cut1, n_flt, n_rem2, n_cut2, m_cont,
+                            jax.lax.psum(n_arc_local, axis)])
+        return arcmat, meta, counts
+
+    return step
+
+
+def run_sharded(paf_fn, opt: Opt, mesh, *, outfmt: str = "ug",
+                fn_reads=None, stage: int = 100, out=None, excl=None):
+    """Full PAF -> GFA over the mesh; byte-identical to the single-device
+    pipeline (same arc insertion order, same graph path)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..graph.asg import graph_from_arcs
+    from ..pipeline import _emit
+
+    out = out or sys.stdout
+    n_sh = mesh.devices.size
+    sys.stderr.write("[M::main] ===> Step 1: reading read mappings <===\n")
+    cols, d, n_lines, n_mirror = _load_originals(paf_fn, opt, excl)
+    n_seq = d.n_seq
+    n_seq_cap = _next_pow2(max(n_seq, 1))
+    log("hit_read", "read %d hits; stored %d hits and %d sequences (%d bp)",
+        n_lines, n_mirror, d.n_seq,
+        int(np.sum(d.lens_array(), dtype=np.uint64)))
+
+    hostmat, per, block, cap = _partition(cols, n_seq, n_sh)
+    rank = _mirror_ranks(cols, d)
+    max_len = int(np.max(d.lens_array())) if n_seq else 0
+    pack_se = bool(max_len < 65535)
+    arc_cap = _next_pow2(per + n_sh * cap)  # >= rows per shard: never drops
+
+    gmat = jax.device_put(hostmat, NamedSharding(mesh, P(None, "r")))
+    step = _make_select_step(mesh, n_seq, n_seq_cap, opt, per=per,
+                             block=block, cap=cap, pack_se=pack_se,
+                             arc_cap=arc_cap)
+    sys.stderr.write("[M::main] ===> Step 2: 1-pass (crude) read selection <===\n")
+    arcmat, meta, counts = jax.jit(step)(gmat)
+    arcmat, meta, counts = jax.device_get((arcmat, meta, counts))
+    n_rem1, n_cut1, n_flt, n_rem2, n_cut2, m_cont, n_arc = \
+        [int(x) for x in counts]
+    log("hit_sub", "%d query sequences remain after sub", n_rem1)
+    log("hit_cut", "%d hits remain after cut", n_cut1)
+    meta = meta[:, :n_seq]
+    dp = meta[6].astype(np.int64)
+    has_flt = meta[7].astype(bool)
+    tot_len = int(np.sum((meta[9] - meta[8])[has_flt]))
+    cov = float(np.sum(dp)) / tot_len if tot_len else 0.0
+    log("hit_flt", "%d hits remain after filtering; crude coverage after "
+        "filtering: %.2f", n_flt, cov)
+    sys.stderr.write("[M::main] ===> Step 3: 2-pass (fine) read selection <===\n")
+    log("hit_sub", "%d query sequences remain after sub", n_rem2)
+    log("hit_cut", "%d hits remain after cut", n_cut2)
+
+    gids = arcmat[4]
+    live = gids >= 0
+    arcs = {
+        "u": arcmat[0][live].astype(np.int32),
+        "l": arcmat[1][live].astype(np.int32),
+        "v": arcmat[2][live].astype(np.int32),
+        "ol": arcmat[3][live].astype(np.int32),
+    }
+    order = np.argsort(rank[gids[live]], kind="stable")
+    arcs = {k: v[order] for k, v in arcs.items()}
+
+    g, sub_s, sub_e, sub_del = graph_from_arcs(
+        d, meta[0].astype(np.uint32), meta[1].astype(np.uint32),
+        meta[2].astype(bool), meta[3].astype(bool), meta[4].astype(bool),
+        meta[5].astype(bool), arcs, m_hits=m_cont)
+    return _emit(paf_fn, opt, outfmt, fn_reads, stage, out, d, None,
+                 sub_s, sub_e, sub_del, prebuilt=g, mesh=mesh)

@@ -236,7 +236,7 @@ def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir):
 
 
 def _emit(paf_fn, opt, outfmt, fn_reads, stage, out, d, hits,
-          sub_s, sub_e, sub_del, prebuilt=None):
+          sub_s, sub_e, sub_del, prebuilt=None, mesh=None):
     if outfmt == "bed":
         print_subs(d, sub_s, sub_e, out)
         return None
@@ -267,7 +267,7 @@ def _emit(paf_fn, opt, outfmt, fn_reads, stage, out, d, hits,
         # order (SURVEY §7 plan; graph/hybrid.py)
         from .graph.hybrid import clean_graph
 
-        g = clean_graph(g, opt, stage)
+        g = clean_graph(g, opt, stage, mesh=mesh)
         if outfmt == "ug":
             sys.stderr.write("[M::main] ===> Step 5: generating unitigs <===\n")
             if fnat_ok:
