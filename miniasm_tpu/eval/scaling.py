@@ -67,7 +67,9 @@ def main(argv):
                                    % max(ns)).strip()
     import jax
 
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    jax.config.update("jax_platforms",
+                      os.environ.get("MINIASM_TPU_PLATFORM")
+                      or os.environ["JAX_PLATFORMS"])
 
     paf = os.environ.get("SCALING_PAF")
     if not paf:
