@@ -214,47 +214,47 @@ def _make_select_step(mesh, n_seq, n_seq_cap, opt, *, per, block, cap,
         not_self = qid != tid
 
         # ---- Step 2: crude sweep + cut (main.c:122-125) ----
-        s1, e1, d1, n_rem1 = _sub_pass(qid, tid, qs, qe, ts, te, vq, vm,
-                                       iden, not_self, T, opt.min_dp, 0)
+        s1, e1, d1, _, n_rem1 = _sub_pass(qid, tid, qs, qe, ts, te, vq, vm,
+                                          iden, not_self, T, opt.min_dp, 0)
         n_rem1 = jax.lax.psum(n_rem1, axis)
         s1 = combine_tab(s1)
         e1 = combine_tab(e1)
         d1 = combine_or(d1)
         w1 = _pack_tab(s1, e1, d1, pack_se)
-        keep, qs, qe, ts, te = _cut_pass(qid, tid, qs, qe, ts, te, rev, w1,
-                                         pack_se, opt.min_span)
+        keep, qs, qe, ts, te, slq, slt = _cut_pass(
+            qid, tid, qs, qe, ts, te, rev, w1, pack_se, opt.min_span)
         vq = vq & keep
         n_cut1 = jax.lax.psum(jnp.sum(vq), axis)
 
         # ---- arc filter, relaxed params (hit.c:195-216) ----
-        sl1 = e1 - s1
-        slq = sl1[qid]
-        slt = sl1[jnp.minimum(tid, dump)]
         cq = hit2arc(qid, qs, qe, tid, ts, te, rev, slq, slt,
                      int(opt.max_hang * 1.5), 0.5, int(opt.min_ovlp * 0.5))
         r1 = cq["r"]
         vq = vq & ((r1 >= 0) | (r1 == MA_HT_QCONT) | (r1 == MA_HT_TCONT))
         n_flt = jax.lax.psum(jnp.sum(vq), axis)
-        dpv = jnp.where(r1 >= 0, r1,
-                        jnp.where(r1 == MA_HT_QCONT, slq, slt))
-        dp_read = jnp.zeros(T, I32).at[
-            jnp.where(vq, qid, dump)].add(jnp.where(vq, dpv, 0))
-        dp_read = combine_tab(dp_read)
-        has_flt = jnp.zeros(T, bool).at[jnp.where(vq, qid, dump)].set(vq)
-        has_flt = has_flt.at[dump].set(False)
-        has_flt = combine_or(has_flt)
+        dpv = jnp.where(vq, jnp.where(r1 >= 0, r1,
+                        jnp.where(r1 == MA_HT_QCONT, slq, slt)), 0)
+        dp_lo = jax.lax.psum(jnp.sum(dpv & 1023), axis)
+        dp_hi = jax.lax.psum(jnp.sum(dpv >> 10), axis)
 
         # ---- Step 3: fine sweep + cut + merge (main.c:132-135) ----
-        s2, e2, d2, n_rem2 = _sub_pass(qid, tid, qs, qe, ts, te, vq, vm,
-                                       iden, not_self, T, opt.min_dp,
-                                       opt.min_span // 2)
+        s2, e2, d2, has_flt, n_rem2 = _sub_pass(qid, tid, qs, qe, ts, te,
+                                                vq, vm, iden, not_self, T,
+                                                opt.min_dp,
+                                                opt.min_span // 2)
         n_rem2 = jax.lax.psum(n_rem2, axis)
         s2 = combine_tab(s2)
         e2 = combine_tab(e2)
         d2 = combine_or(d2)
+        has_flt = combine_or(has_flt)
+        sl1 = e1 - s1
+        len_lo = jnp.sum(jnp.where(has_flt & own_mask(), sl1 & 1023, 0))
+        len_hi = jnp.sum(jnp.where(has_flt & own_mask(), sl1 >> 10, 0))
+        len_lo = jax.lax.psum(len_lo, axis)
+        len_hi = jax.lax.psum(len_hi, axis)
         w2 = _pack_tab(s2, e2, d2, pack_se)
-        keep, qs, qe, ts, te = _cut_pass(qid, tid, qs, qe, ts, te, rev, w2,
-                                         pack_se, opt.min_span)
+        keep, qs, qe, ts, te, slq, slt = _cut_pass(
+            qid, tid, qs, qe, ts, te, rev, w2, pack_se, opt.min_span)
         vq = vq & keep
         n_cut2 = jax.lax.psum(jnp.sum(vq), axis)
 
@@ -263,10 +263,7 @@ def _make_select_step(mesh, n_seq, n_seq_cap, opt, *, per, block, cap,
         mdel = d1 | d2
 
         # ---- containment marks + final classification (hit.c:225-236,
-        #      asm.c:9-39) ----
-        sl2 = e2 - s2
-        slq = sl2[qid]
-        slt = sl2[jnp.minimum(tid, dump)]
+        #      asm.c:9-39); the cut-pass spans are the merged lengths ----
         cq = hit2arc(qid, qs, qe, tid, ts, te, rev, slq, slt,
                      opt.max_hang, float(opt.int_frac), opt.min_ovlp)
         rq = jnp.where(vq, cq["r"], 0)
@@ -307,10 +304,11 @@ def _make_select_step(mesh, n_seq, n_seq_cap, opt, *, per, block, cap,
             jnp.where(ok, gid[idx], -1)])
 
         meta = jnp.stack([ms, me, mdel.astype(I32), cont.astype(I32),
-                          used.astype(I32), pal.astype(I32), dp_read,
-                          has_flt.astype(I32), s1, e1])[:, :n_seq_cap + 1]
+                          used.astype(I32),
+                          pal.astype(I32)])[:, :n_seq_cap + 1]
         counts = jnp.stack([n_rem1, n_cut1, n_flt, n_rem2, n_cut2, m_cont,
-                            jax.lax.psum(n_arc_local, axis)])
+                            jax.lax.psum(n_arc_local, axis),
+                            dp_lo, dp_hi, len_lo, len_hi])
         return arcmat, meta, counts
 
     return step
@@ -349,15 +347,14 @@ def run_sharded(paf_fn, opt: Opt, mesh, *, outfmt: str = "ug",
     sys.stderr.write("[M::main] ===> Step 2: 1-pass (crude) read selection <===\n")
     arcmat, meta, counts = jax.jit(step)(gmat)
     arcmat, meta, counts = jax.device_get((arcmat, meta, counts))
-    n_rem1, n_cut1, n_flt, n_rem2, n_cut2, m_cont, n_arc = \
-        [int(x) for x in counts]
+    (n_rem1, n_cut1, n_flt, n_rem2, n_cut2, m_cont, n_arc,
+     dp_lo, dp_hi, len_lo, len_hi) = [int(x) for x in counts]
     log("hit_sub", "%d query sequences remain after sub", n_rem1)
     log("hit_cut", "%d hits remain after cut", n_cut1)
     meta = meta[:, :n_seq]
-    dp = meta[6].astype(np.int64)
-    has_flt = meta[7].astype(bool)
-    tot_len = int(np.sum((meta[9] - meta[8])[has_flt]))
-    cov = float(np.sum(dp)) / tot_len if tot_len else 0.0
+    tot_dp = dp_lo + (dp_hi << 10)
+    tot_len = len_lo + (len_hi << 10)
+    cov = tot_dp / tot_len if tot_len else 0.0
     log("hit_flt", "%d hits remain after filtering; crude coverage after "
         "filtering: %.2f", n_flt, cov)
     sys.stderr.write("[M::main] ===> Step 3: 2-pass (fine) read selection <===\n")

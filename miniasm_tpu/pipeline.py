@@ -207,12 +207,10 @@ def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir):
         colmat_dev, d, opt, bi_dir=bi_dir, max_len=h3.max_len,
         on_dispatch=h3.build_rank)
     tick("select+fetch")
-    n_rem1, n_cut1, n_flt, n_rem2, n_cut2, m_cont, _ = counts
+    n_rem1, n_cut1, n_flt, n_rem2, n_cut2, m_cont = counts[:6]
     log("hit_sub", "%d query sequences remain after sub", n_rem1)
     log("hit_cut", "%d hits remain after cut", n_cut1)
-    tot_dp = int(np.sum(md["dp"]))
-    tot_len = int(np.sum((md["e1"] - md["s1"])[md["has_flt"]]))
-    cov = tot_dp / tot_len if tot_len else 0.0
+    cov = md["tot_dp"] / md["tot_len"] if md["tot_len"] else 0.0
     log("hit_flt", "%d hits remain after filtering; crude coverage after "
         "filtering: %.2f", n_flt, cov)
     sys.stderr.write("[M::main] ===> Step 3: 2-pass (fine) read selection <===\n")

@@ -81,9 +81,20 @@ def _unpack_tab(words, idx, pack_se: bool):
 def _sub_pass(qid, tid, cqs, cqe, cts, cte, vq, vm, iden, not_self,
               T: int, min_dp: int, end_clip: int):
     """Coverage sweep over the 4 events per original (ma_hit_sub,
-    hit.c:109-160).  Returns (s, e, del, n_remained) with tables length T
-    (slot T-1 is the scatter dump)."""
+    hit.c:109-160).  Returns (s, e, del, has_query, n_remained) with
+    tables of length T (slot T-1 is the scatter dump).
+
+    TPU cost notes: scatters price by index count (~5 ms per 2.6M-index
+    scatter measured on v5e), so every per-read table is produced by
+    compact-then-scatter — winners are <=1 per segment and segment starts
+    are <=T, so nonzero() shrinks the index arrays from 4N to T before the
+    writes.  Sentinel events (key=BIG, delta=0) keep every valid row's
+    segment present in the sorted array, which makes has_query a segment-
+    presence bit instead of two more scatters.  The per-segment depth
+    rebase is free: every ok side contributes a (+1,-1) pair, so segment
+    sums are zero and the global cumsum IS the segment-local depth."""
     n = qid.shape[0]
+    n4 = 4 * n
     dump = T - 1
     segpad = jnp.int32(T)
 
@@ -96,9 +107,9 @@ def _sub_pass(qid, tid, cqs, cqe, cts, cte, vq, vm, iden, not_self,
     okq = okq & (eeq > esq)
     okm = okm & (eet > est)
 
-    seg = jnp.concatenate([
-        jnp.where(okq, qid, segpad), jnp.where(okq, qid, segpad),
-        jnp.where(okm, tid, segpad), jnp.where(okm, tid, segpad)])
+    segq = jnp.where(vq, qid, segpad)
+    segm = jnp.where(vm, tid, segpad)
+    seg = jnp.concatenate([segq, segq, segm, segm])
     key = jnp.concatenate([
         jnp.where(okq, esq * 2, BIG), jnp.where(okq, eeq * 2 + 1, BIG),
         jnp.where(okm, est * 2, BIG), jnp.where(okm, eet * 2 + 1, BIG)])
@@ -107,12 +118,7 @@ def _sub_pass(qid, tid, cqs, cqe, cts, cte, vq, vm, iden, not_self,
     valid_ev = key != BIG
     is_end = (key & 1) == 1
     delta = jnp.where(valid_ev, jnp.where(is_end, -1, 1), 0).astype(I32)
-    cum = jnp.cumsum(delta)
-    # depth restarts per segment: subtract the running total just before the
-    # segment's first event (ffill of cum-delta from run starts — no gather)
-    prev_seg = jnp.concatenate([seg[:1] - 1, seg[:-1]])
-    base = ffill(seg != prev_seg, cum - delta)
-    depth = cum - base
+    depth = jnp.cumsum(delta)  # == segment-local depth (see docstring)
     old_depth = depth - delta
 
     is_start_tr = valid_ev & (old_depth < min_dp) & (depth >= min_dp)
@@ -127,39 +133,51 @@ def _sub_pass(qid, tid, cqs, cqe, cts, cte, vq, vm, iden, not_self,
     # first row achieving the segment max, strict-> compare like the
     # reference's `len > max.e - max.s` (hit.c:142): larger than everything
     # before it, >= everything after it
+    prev_seg = jnp.concatenate([seg[:1] - 1, seg[:-1]])
     pref = seg_cummax(seg, length, reverse=False)
     pref_before = jnp.concatenate([jnp.full((1,), -1, I32), pref[:-1]])
     pref_before = jnp.where(seg == prev_seg, pref_before, -1)
     suf = seg_cummax(seg, length, reverse=True)
     winner = is_end_tr & (length > 0) & (length >= suf) & (length > pref_before)
 
-    wseg = jnp.where(winner, jnp.minimum(seg, dump), dump)
-    s_tab = jnp.zeros(T, I32).at[wseg].set(jnp.where(winner, start_pos, 0))
-    e_tab = jnp.zeros(T, I32).at[wseg].set(jnp.where(winner, pos, 0))
-    has_region = jnp.zeros(T, bool).at[wseg].set(winner)
+    # winners: <=1 per segment -> compact to T indices, then scatter.
+    # fill rows duplicate row n4-1; if that row IS a winner the duplicates
+    # rewrite the same (seg, value) pair, which is harmless.
+    widx = jnp.nonzero(winner, size=T, fill_value=n4 - 1)[0]
+    wvalid = winner[widx]
+    wseg = jnp.where(wvalid, seg[widx], dump)  # winner segs are < T-1
+    s_tab = jnp.zeros(T, I32).at[wseg].set(jnp.where(wvalid, start_pos[widx], 0))
+    e_tab = jnp.zeros(T, I32).at[wseg].set(jnp.where(wvalid, pos[widx], 0))
+    has_region = jnp.zeros(T, bool).at[wseg].set(wvalid)
     has_region = has_region.at[dump].set(False)
 
     # reads appearing as query of any (valid) row form a group even when all
     # their events are skipped (self matches / identity failures): they get
-    # del=1 (hit.c:115,152)
-    has_query = jnp.zeros(T, bool)
-    has_query = has_query.at[jnp.where(vq, jnp.minimum(qid, dump), dump)].set(vq)
-    has_query = has_query.at[jnp.where(vm, jnp.minimum(tid, dump), dump)].set(vm)
+    # del=1 (hit.c:115,152).  The sentinel events guarantee such rows still
+    # occupy their segment, so presence = "segment has a first row".
+    new_seg = seg != prev_seg
+    sidx = jnp.nonzero(new_seg, size=T + 1, fill_value=n4 - 1)[0]
+    sseg = seg[sidx]
+    svalid = new_seg[sidx] & (sseg < segpad)
+    has_query = jnp.zeros(T, bool).at[
+        jnp.where(svalid, jnp.minimum(sseg, dump), dump)].set(svalid)
     has_query = has_query.at[dump].set(False)
 
     s = jnp.where(has_region, s_tab - end_clip, 0)
     e = jnp.where(has_region, e_tab + end_clip, 0)
     dele = has_query & ~has_region
     n_rem = jnp.sum(has_region)
-    return s, e, dele, n_rem
+    return s, e, dele, has_query, n_rem
 
 
 def _cut_pass(qid, tid, cqs, cqe, cts, cte, rev, words, pack_se: bool,
               min_span: int):
     """ma_hit_cut (hit.c:162-193), one computation for both sides (the
     keep test and the coordinate rewrite are symmetric under the mirror).
-    Returns (keep, qs2, qe2, ts2, te2) with coordinates as int32 bit
-    patterns of the reference's uint32 results."""
+    Returns (keep, qs2, qe2, ts2, te2, slq, slt) with coordinates as int32
+    bit patterns of the reference's uint32 results; slq/slt are the
+    trimmed read lengths (e-s of the gathered table entries, 0 for deleted
+    reads) so the following hit2arc needs no extra table gathers."""
     rq_s, rq_e, rq_del = _unpack_tab(words, qid, pack_se)
     rt_s, rt_e, rt_del = _unpack_tab(words, tid, pack_se)
     alive = ~(rq_del | rt_del)
@@ -195,7 +213,8 @@ def _cut_pass(qid, tid, cqs, cqe, cts, cte, rev, words, pack_se: bool,
     qspan = (qe2 - qs2).astype(I32)
     tspan = (te2 - ts2).astype(I32)
     keep = alive & (qspan >= min_span) & (tspan >= min_span)
-    return keep, qs2.astype(I32), qe2.astype(I32), ts2.astype(I32), te2.astype(I32)
+    return (keep, qs2.astype(I32), qe2.astype(I32), ts2.astype(I32),
+            te2.astype(I32), rq_e - rq_s, rt_e - rt_s)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -219,19 +238,16 @@ def _select2_kernel(colmat, *, n_seq_cap, min_span, min_dp, max_hang,
     vm = valid0 & not_self if bi_dir else jnp.zeros_like(valid0)
 
     # --- Step 2: crude sweep, end_clip=0 (main.c:122) + cut ---
-    s1, e1, d1, n_rem1 = _sub_pass(qid, tid, qs, qe, ts, te, vq, vm, iden,
-                                   not_self, T, min_dp, 0)
+    s1, e1, d1, _, n_rem1 = _sub_pass(qid, tid, qs, qe, ts, te, vq, vm,
+                                      iden, not_self, T, min_dp, 0)
     w1 = _pack_tab(s1, e1, d1, pack_se)
-    keep, qs, qe, ts, te = _cut_pass(qid, tid, qs, qe, ts, te, rev, w1,
-                                     pack_se, min_span)
+    keep, qs, qe, ts, te, slq, slt = _cut_pass(qid, tid, qs, qe, ts, te,
+                                               rev, w1, pack_se, min_span)
     vq = vq & keep
     vm = vm & keep
     n_cut1 = jnp.sum(vq) + jnp.sum(vm)
 
     # --- arc filter, relaxed params (main.c:125; hit.c:195-216) ---
-    sl1 = e1 - s1
-    slq = sl1[qid]   # one extra gather pair; reused by both sides
-    slt = sl1[tid]
     cq = hit2arc(qid, qs, qe, tid, ts, te, rev, slq, slt,
                  int(max_hang * 1.5), 0.5, int(min_ovlp * 0.5))
     cm = hit2arc(tid, ts, te, qid, qs, qe, rev, slt, slq,
@@ -250,21 +266,28 @@ def _select2_kernel(colmat, *, n_seq_cap, min_span, min_dp, max_hang,
     vm = vm & flt_keep(cm)
     n_flt = jnp.sum(vq) + jnp.sum(vm)
     dump = T - 1
-    dp_read = jnp.zeros(T, I32)
-    dp_read = dp_read.at[jnp.where(vq, jnp.minimum(qid, dump), dump)].add(
-        jnp.where(vq, flt_dp(cq, slq, slt), 0))
-    dp_read = dp_read.at[jnp.where(vm, jnp.minimum(tid, dump), dump)].add(
-        jnp.where(vm, flt_dp(cm, slt, slq), 0))
-    has_flt = jnp.zeros(T, bool)
-    has_flt = has_flt.at[jnp.where(vq, jnp.minimum(qid, dump), dump)].set(vq)
-    has_flt = has_flt.at[jnp.where(vm, jnp.minimum(tid, dump), dump)].set(vm)
+    # crude coverage needs only the global sums (hit.c:210-213): dp summed
+    # over surviving rows, read lengths over reads that still have a hit.
+    # Values are < 2^17, so a (low-10-bit, high) split keeps exact int32
+    # sums without x64 (one f32/f64 sum would round; a scatter-add would
+    # cost ~6 ms).
+    dpv = (jnp.where(vq, flt_dp(cq, slq, slt), 0)
+           + jnp.where(vm, flt_dp(cm, slt, slq), 0))
+    dp_lo = jnp.sum(dpv & 1023)
+    dp_hi = jnp.sum(dpv >> 10)
 
     # --- Step 3: fine sweep, end_clip=min_span/2 (main.c:132) + cut ---
-    s2, e2, d2, n_rem2 = _sub_pass(qid, tid, qs, qe, ts, te, vq, vm, iden,
-                                   not_self, T, min_dp, min_span // 2)
+    # its has_query table == "read kept a hit after the filter", which is
+    # exactly the hit_flt coverage denominator set
+    s2, e2, d2, has_flt, n_rem2 = _sub_pass(qid, tid, qs, qe, ts, te, vq,
+                                            vm, iden, not_self, T, min_dp,
+                                            min_span // 2)
+    sl1 = e1 - s1
+    len_lo = jnp.sum(jnp.where(has_flt, sl1 & 1023, 0))
+    len_hi = jnp.sum(jnp.where(has_flt, sl1 >> 10, 0))
     w2 = _pack_tab(s2, e2, d2, pack_se)
-    keep, qs, qe, ts, te = _cut_pass(qid, tid, qs, qe, ts, te, rev, w2,
-                                     pack_se, min_span)
+    keep, qs, qe, ts, te, slq, slt = _cut_pass(qid, tid, qs, qe, ts, te,
+                                               rev, w2, pack_se, min_span)
     vq = vq & keep
     vm = vm & keep
     n_cut2 = jnp.sum(vq) + jnp.sum(vm)
@@ -275,28 +298,27 @@ def _select2_kernel(colmat, *, n_seq_cap, min_span, min_dp, max_hang,
     mdel = d1 | d2
 
     # --- containment marks + final classification (hit.c:225-236,
-    #     asm.c:9-39) with merged lengths e2-s2 ---
-    sl2 = e2 - s2
-    slq = sl2[qid]
-    slt = sl2[tid]
+    #     asm.c:9-39) with merged lengths e2-s2 (== the cut-pass spans) ---
     cq = hit2arc(qid, qs, qe, tid, ts, te, rev, slq, slt,
                  max_hang, int_frac, min_ovlp)
     cm = hit2arc(tid, ts, te, qid, qs, qe, rev, slt, slq,
                  max_hang, int_frac, min_ovlp)
     rq = jnp.where(vq, cq["r"], 0)
     rm = jnp.where(vm, cm["r"], 0)
-    cont = jnp.zeros(T, bool)
-    cont = cont.at[jnp.where(rq == MA_HT_QCONT, jnp.minimum(qid, dump), dump)].set(True)
-    cont = cont.at[jnp.where(rq == MA_HT_TCONT, jnp.minimum(tid, dump), dump)].set(True)
-    cont = cont.at[jnp.where(rm == MA_HT_QCONT, jnp.minimum(tid, dump), dump)].set(True)
-    cont = cont.at[jnp.where(rm == MA_HT_TCONT, jnp.minimum(qid, dump), dump)].set(True)
+    # each side marks at most one read (QCONT -> its query, TCONT -> its
+    # target), so two scatters cover all four reference branches
+    cont_q = jnp.where(rq == MA_HT_QCONT, qid,
+                       jnp.where(rq == MA_HT_TCONT, tid, dump))
+    cont_m = jnp.where(rm == MA_HT_QCONT, tid,
+                       jnp.where(rm == MA_HT_TCONT, qid, dump))
+    cont = jnp.zeros(T, bool).at[jnp.minimum(cont_q, dump)].set(True)
+    cont = cont.at[jnp.minimum(cont_m, dump)].set(True)
     cont = cont.at[dump].set(False)
 
-    used = jnp.zeros(T, bool)
-    used = used.at[jnp.where(vq, jnp.minimum(qid, dump), dump)].set(vq)
-    used = used.at[jnp.where(vq, jnp.minimum(tid, dump), dump)].set(vq)
-    used = used.at[jnp.where(vm, jnp.minimum(tid, dump), dump)].set(vm)
-    used = used.at[jnp.where(vm, jnp.minimum(qid, dump), dump)].set(vm)
+    vqm = vq | vm
+    used = jnp.zeros(T, bool).at[jnp.where(vqm, jnp.minimum(qid, dump),
+                                           dump)].set(vqm)
+    used = used.at[jnp.where(vqm, jnp.minimum(tid, dump), dump)].set(vqm)
     used = used.at[dump].set(False)
 
     pal_rows = vq & (cq["r"] >= 0) & is_self & (qs == ts) & (qe == te) & (rev != 0)
@@ -318,29 +340,31 @@ def _select2_kernel(colmat, *, n_seq_cap, min_span, min_dp, max_hang,
     n = qid.shape[0]
     n_arc = jnp.sum(arc_rows)
     idx = jnp.nonzero(arc_rows, size=arc_cap, fill_value=2 * n - 1)[0]
-    au = jnp.concatenate([cq["u"], cm["u"]])[idx]
-    al = jnp.concatenate([cq["l"], cm["l"]])[idx]
-    av = jnp.concatenate([cq["v"], cm["v"]])[idx]
-    aol = jnp.concatenate([cq["ol"], cm["ol"]])[idx]
     ok = jnp.arange(arc_cap, dtype=I32) < n_arc
-    au = jnp.where(ok, au, 0)
-    al = jnp.where(ok, al, 0)
-    av = jnp.where(ok, av, 0)
-    aol = jnp.where(ok, aol, 0)
-    aidx = jnp.where(ok, idx.astype(I32), -1)
-    flags = (mdel.astype(I32) | (cont.astype(I32) << 1)
-             | (used.astype(I32) << 2) | (pal.astype(I32) << 3)
-             | (has_flt.astype(I32) << 4))
     if pack_io:
-        arcmat = jnp.stack([(au << 16) | av, (al << 16) | aol, aidx])
-        meta = jnp.stack([(ms << 16) | me, (s1 << 16) | e1, dp_read,
-                          flags])[:, :n_seq_cap + 1]
+        # pack (u,v) and (l,ol) BEFORE the gather: 2 gathers instead of 4
+        uv = jnp.concatenate([(cq["u"] << 16) | cq["v"],
+                              (cm["u"] << 16) | cm["v"]])[idx]
+        lol = jnp.concatenate([(cq["l"] << 16) | cq["ol"],
+                               (cm["l"] << 16) | cm["ol"]])[idx]
+        arcmat = jnp.stack([jnp.where(ok, uv, 0), jnp.where(ok, lol, 0),
+                            jnp.where(ok, idx.astype(I32), -1)])
     else:
-        arcmat = jnp.stack([au, al, av, aol, aidx])
-        meta = jnp.stack([ms, me, s1, e1, dp_read,
-                          flags])[:, :n_seq_cap + 1]
+        au = jnp.concatenate([cq["u"], cm["u"]])[idx]
+        al = jnp.concatenate([cq["l"], cm["l"]])[idx]
+        av = jnp.concatenate([cq["v"], cm["v"]])[idx]
+        aol = jnp.concatenate([cq["ol"], cm["ol"]])[idx]
+        arcmat = jnp.stack([jnp.where(ok, au, 0), jnp.where(ok, al, 0),
+                            jnp.where(ok, av, 0), jnp.where(ok, aol, 0),
+                            jnp.where(ok, idx.astype(I32), -1)])
+    flags = (mdel.astype(I32) | (cont.astype(I32) << 1)
+             | (used.astype(I32) << 2) | (pal.astype(I32) << 3))
+    if pack_io:
+        meta = jnp.stack([(ms << 16) | me, flags])[:, :n_seq_cap + 1]
+    else:
+        meta = jnp.stack([ms, me, flags])[:, :n_seq_cap + 1]
     counts = jnp.stack([n_rem1, n_cut1, n_flt, n_rem2, n_cut2,
-                        m_contained, n_arc])
+                        m_contained, n_arc, dp_lo, dp_hi, len_lo, len_hi])
     return arcmat, meta, counts
 
 
@@ -390,14 +414,8 @@ def select_build2(colmat_dev, d, opt, *, bi_dir: bool, max_len: int,
         }
         meta = meta[:, :n_seq]
         sme = meta[0].astype(np.uint32)
-        s1e1 = meta[1].astype(np.uint32)
-        dp = meta[2]
-        flags = meta[3]
-        md = {
-            "sub_s": sme >> 16, "sub_e": sme & 0xFFFF,
-            "s1": (s1e1 >> 16).astype(np.int64),
-            "e1": (s1e1 & 0xFFFF).astype(np.int64),
-        }
+        flags = meta[1]
+        md = {"sub_s": sme >> 16, "sub_e": sme & 0xFFFF}
     else:
         arcs = {
             "u": arcmat[0, :n_arc].astype(np.int32),
@@ -407,20 +425,19 @@ def select_build2(colmat_dev, d, opt, *, bi_dir: bool, max_len: int,
             "idx": arcmat[4, :n_arc].astype(np.int64),
         }
         meta = meta[:, :n_seq]
-        dp = meta[4]
-        flags = meta[5]
+        flags = meta[2]
         md = {
             "sub_s": meta[0].astype(np.uint32),
             "sub_e": meta[1].astype(np.uint32),
-            "s1": meta[2].astype(np.int64),
-            "e1": meta[3].astype(np.int64),
         }
     md.update({
         "sub_del": (flags & 1).astype(bool),
         "cont": ((flags >> 1) & 1).astype(bool),
         "used": ((flags >> 2) & 1).astype(bool),
         "pal": ((flags >> 3) & 1).astype(bool),
-        "dp": dp.astype(np.int64),
-        "has_flt": ((flags >> 4) & 1).astype(bool),
     })
-    return arcs, md, [int(x) for x in counts]
+    c = [int(x) for x in counts]
+    # reassemble the exact 64-bit coverage sums from the 10-bit splits
+    md["tot_dp"] = c[7] + (c[8] << 10)
+    md["tot_len"] = c[9] + (c[10] << 10)
+    return arcs, md, c
