@@ -128,6 +128,14 @@ def main(argv=None) -> int:
     liftrlimit()
     from .pipeline import run
 
+    # MINIASM_TPU_PROFILE=<dir> wraps the pipeline in a jax.profiler trace
+    # (XLA op timeline, readable with tensorboard or the trace.json.gz);
+    # an env var because the reference getopt string is parity-pinned
+    prof_dir = os.environ.get("MINIASM_TPU_PROFILE")
+    if prof_dir:
+        import jax
+
+        jax.profiler.start_trace(prof_dir)
     try:
         run(args[0], opt, outfmt=outfmt, fn_reads=fn_reads, stage=stage,
             no_first=no_first, no_second=no_second, bi_dir=bi_dir,
@@ -135,6 +143,13 @@ def main(argv=None) -> int:
     except FileNotFoundError as e:
         sys.stderr.write("[E::main] could not open file %s\n" % e.filename)
         return 1
+    finally:
+        if prof_dir:
+            import jax
+
+            jax.profiler.stop_trace()
+            sys.stderr.write("[M::main] profiler trace written to %s\n"
+                             % prof_dir)
     sys.stderr.write("[M::main] Version: %s\n" % VERSION)
     sys.stderr.write("[M::main] CMD: miniasm-tpu %s\n" % " ".join(argv))
     sys.stderr.write("[M::main] Real time: %.3f sec; CPU: %.3f sec\n"

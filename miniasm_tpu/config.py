@@ -35,10 +35,11 @@ class Opt:
     # --- TPU execution options (new; no reference counterpart) ---
     # Number of shards for the read-id sharded multi-device path.
     n_shards: int = 1
-    # If True, run order-dependent graph passes via device-parallel candidate
-    # detection + sequential commit so output is bit-identical to the
-    # reference. (The only mode implemented so far; a fully device-resident
-    # relaxed mode may be added later.)
+    # Order-dependent graph passes run as device-parallel candidate
+    # detection (graph/devclean.py, one dispatch for Steps 4.1-4.5) with
+    # host commits in the reference's scan order (graph/hybrid.py), so the
+    # output is bit-identical to the reference.  Alternative backends are
+    # selected with MINIASM_TPU_CLEAN=native|py (oracle/spec paths).
     exact: bool = True
 
     @staticmethod

@@ -124,7 +124,7 @@ def n_seg_arg(n_seq: int) -> int:
 def hit_sub_flat(qid, tid, qs, qe, iden_ok, valid, n_tab: int,
                  min_dp: int, end_clip: int):
     """Flat segmented formulation of the coverage sweep (ma_hit_sub,
-    hit.c:109-160), exactly equivalent to hit_sub_rows but without the
+    hit.c:109-160), exactly equivalent to hit_sub but without the
     padded per-query event matrix: one 2-key `lax.sort` over the 2N flat
     events plus flat scans/gathers.  Measured ~2x faster than the row
     formulation on TPU (the row gather is the row version's hot spot).
@@ -198,83 +198,6 @@ def hit_sub_flat(qid, tid, qs, qe, iden_ok, valid, n_tab: int,
         jnp.where(valid, jnp.minimum(qid, n_tab), n_tab)].set(True)[:n_tab]
 
     best = has & has_query
-    sub_s = jnp.where(best, reg_s - end_clip, 0).astype(jnp.uint32)
-    sub_e = jnp.where(best, reg_e + end_clip, 0).astype(jnp.uint32)
-    sub_del = has_query & ~best
-    return sub_s, sub_e, sub_del
-
-
-def hit_sub_rows(qid, tid, qs, qe, iden_ok, valid, n_seq_cap: int, k_cap: int,
-                 min_dp: int, end_clip: int):
-    """Row-wise formulation of the coverage sweep, exactly equivalent to
-    hit_sub but O(n) on TPU: hits are already sorted by (qid, qs) (the
-    host's exact radix), so each query's hits form a contiguous run.  We
-    gather them into a (n_seq_cap, 2*k_cap) padded event matrix, sort each
-    ROW (fast: the sort dimension is small), and sweep with row-cumsums —
-    no global sort, no scatter.
-
-    qid must be ascending with padding rows set to >= n_seq_cap; `valid`
-    masks dead rows (their qid still sits in sorted position).  k_cap must
-    be >= the max number of hits of any query.  `iden_ok` is the
-    precomputed identity-filter bit ml >= bl*min_iden (hit.c:127) — it
-    depends only on load-time columns, so it is packed host-side and the
-    ml/bl columns never reach the device.
-    """
-    i32 = jnp.int32
-    qid = jnp.asarray(qid).astype(i32)
-    tid = jnp.asarray(tid).astype(i32)
-    qs = jnp.asarray(qs).astype(i32)
-    qe = jnp.asarray(qe).astype(i32)
-    valid = jnp.asarray(valid)
-    n = qid.shape[0]
-    BIG = jnp.int32(2**31 - 1)
-
-    # per-hit event pair (hit.c:123-131)
-    ev_ok = valid & (tid != qid) & jnp.asarray(iden_ok)
-    evs = qs + end_clip
-    eve = qe - end_clip
-    ev_ok = ev_ok & (eve > evs)
-    # packed key pos<<1|flag fits int32 (coords < 2^30)
-    kstart = jnp.where(ev_ok, evs * 2, BIG)
-    kend = jnp.where(ev_ok, eve * 2 + 1, BIG)
-
-    # segment layout from the sorted qid column
-    seg_first = jnp.searchsorted(qid, jnp.arange(n_seq_cap, dtype=i32),
-                                 side="left").astype(i32)
-    seg_last = jnp.searchsorted(qid, jnp.arange(n_seq_cap, dtype=i32),
-                                side="right").astype(i32)
-    deg = seg_last - seg_first  # includes masked rows; they gather BIG keys
-
-    col = jax.lax.broadcasted_iota(i32, (n_seq_cap, k_cap), 1)
-    gidx = jnp.minimum(seg_first[:, None] + col, n - 1)
-    in_seg = col < deg[:, None]
-    mstart = jnp.where(in_seg, kstart[gidx], BIG)
-    mend = jnp.where(in_seg, kend[gidx], BIG)
-    ev = jnp.sort(jnp.concatenate([mstart, mend], axis=1), axis=1)
-
-    ev_valid = ev != BIG
-    is_end = (ev & 1) == 1
-    delta = jnp.where(ev_valid, jnp.where(is_end, -1, 1), 0)
-    depth = jnp.cumsum(delta, axis=1)
-    old_depth = depth - delta
-    pos = ev >> 1
-
-    is_start_tr = ev_valid & (old_depth < min_dp) & (depth >= min_dp)
-    is_end_tr = ev_valid & (old_depth >= min_dp) & (depth < min_dp)
-
-    # most recent start-transition position, per row
-    colw = jax.lax.broadcasted_iota(i32, ev.shape, 1)
-    last_start = jax.lax.cummax(jnp.where(is_start_tr, colw, -1), axis=1)
-    start_pos = jnp.take_along_axis(pos, jnp.maximum(last_start, 0), axis=1)
-    length = jnp.where(is_end_tr & (last_start >= 0), pos - start_pos, -1)
-
-    best_len = jnp.max(length, axis=1)
-    first = jnp.argmax(length == best_len[:, None], axis=1)  # first max (hit.c:142)
-    reg_e = jnp.take_along_axis(pos, first[:, None], axis=1)[:, 0]
-    reg_s = jnp.take_along_axis(start_pos, first[:, None], axis=1)[:, 0]
-
-    has_query = jnp.max(jnp.where(in_seg, valid[gidx], False), axis=1)
-    best = (best_len > 0) & has_query
     sub_s = jnp.where(best, reg_s - end_clip, 0).astype(jnp.uint32)
     sub_e = jnp.where(best, reg_e + end_clip, 0).astype(jnp.uint32)
     sub_del = has_query & ~best
