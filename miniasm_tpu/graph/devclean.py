@@ -59,7 +59,12 @@ def build_tables(g: Graph):
     are padded to power-of-two buckets so repeated detections within a run
     (after commits shrink the graph) reuse the same compiled kernel.
     Requires a compacted graph (no tombstones): detection is only invoked
-    right after a cleanup, like every reference pass."""
+    right after a cleanup, like every reference pass.
+
+    When vertex ids and lengths fit, the tables ship as uint16 with 65535
+    as the padding sentinel (the kernel re-widens it); this halves the
+    ~70 MB/s host->device transfer, which otherwise dominates detection on
+    an E. coli-scale graph (3x 2 MB tables)."""
     assert not g.adel.any(), "detect() requires a compacted graph"
     V = g.n_vtx
     D = max(int(g.idx_cnt.max()) if g.n_arc else 1, 1)
@@ -67,9 +72,17 @@ def build_tables(g: Graph):
     Dp = _pow2(D)
     rows = g.u.astype(np.int64)
     slots = np.arange(g.n_arc, dtype=np.int64) - g.idx_start[rows]
-    nbr_v = np.full((Vp, Dp), -1, dtype=np.int32)
-    nbr_l = np.full((Vp, Dp), np.int32(2**31 - 1), dtype=np.int32)
-    nbr_ol = np.zeros((Vp, Dp), dtype=np.int32)
+    maxval = max(V, int(g.l.max()) if g.n_arc else 0,
+                 int(g.ol.max()) if g.n_arc else 0)
+    u16 = maxval < 65535
+    if u16:
+        nbr_v = np.full((Vp, Dp), 65535, dtype=np.uint16)
+        nbr_l = np.full((Vp, Dp), 65535, dtype=np.uint16)
+        nbr_ol = np.zeros((Vp, Dp), dtype=np.uint16)
+    else:
+        nbr_v = np.full((Vp, Dp), -1, dtype=np.int32)
+        nbr_l = np.full((Vp, Dp), np.int32(2**31 - 1), dtype=np.int32)
+        nbr_ol = np.zeros((Vp, Dp), dtype=np.int32)
     nbr_v[rows, slots] = g.v
     nbr_l[rows, slots] = g.l
     nbr_ol[rows, slots] = g.ol
@@ -101,6 +114,13 @@ def _short_frac_cut() -> float:
 def _clean_kernel(nbr_v, nbr_l, nbr_ol, nv, sdel_v, *, Vp, Dp, n_chunks,
                   fuzz, ratios, max_ext, do_trans, do_symm):
     D = Dp
+    if nbr_v.dtype == jnp.uint16:
+        # re-widen the u16 transfer encoding (sentinel 65535 -> -1 / BIG)
+        v32 = nbr_v.astype(I32)
+        nbr_v = jnp.where(v32 == 65535, -1, v32)
+        l32 = nbr_l.astype(I32)
+        nbr_l = jnp.where(l32 == 65535, jnp.int32(2**31 - 1), l32)
+        nbr_ol = nbr_ol.astype(I32)
     clen = Vp // n_chunks
     c0s = jnp.arange(n_chunks, dtype=I32) * clen
 
@@ -238,16 +258,18 @@ def _clean_kernel(nbr_v, nbr_l, nbr_ol, nv, sdel_v, *, Vp, Dp, n_chunks,
     biloop_cand = mn_start & (ext_code == 2)
     bub_cand = not_sdel & (nlive >= 2)
 
-    # pack per-slot masks into one int32 bitfield for a single fetch
-    bits = (elim.astype(I32)
-            | (multi.astype(I32) << 1)
-            | (asymm.astype(I32) << 2))
+    # pack per-slot masks into one bitfield for a single fetch (uint8 when
+    # the trans/multi/asymm + per-ratio masks fit, i.e. <= 5 drop rounds)
+    bt = jnp.uint8 if 3 + len(ratios) <= 8 else I32
+    bits = (elim.astype(bt)
+            | (multi.astype(bt) << 1)
+            | (asymm.astype(bt) << 2))
     for k, m in enumerate(shorts):
-        bits = bits | (m.astype(I32) << (3 + k))
-    cands = (tip_cand.astype(jnp.int8)
-             | (internal_cand.astype(jnp.int8) << 1)
-             | (biloop_cand.astype(jnp.int8) << 2)
-             | (bub_cand.astype(jnp.int8) << 3))
+        bits = bits | (m.astype(bt) << (3 + k))
+    cands = (tip_cand.astype(jnp.uint8)
+             | (internal_cand.astype(jnp.uint8) << 1)
+             | (biloop_cand.astype(jnp.uint8) << 2)
+             | (bub_cand.astype(jnp.uint8) << 3))
     counters = jnp.stack([n_trans, n_multi, n_asymm]
                          + [jnp.sum(m) for m in shorts])
     return bits, cands, counters

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.hit2arc import hit2arc, MA_HT_QCONT, MA_HT_TCONT
-from ..utils.scan import ffill, seg_cummax
+from ..utils.scan import ffill, seg_argcummax
 
 I32 = jnp.int32
 BIG = jnp.int32(2**31 - 1)
@@ -82,17 +82,17 @@ def _sub_pass(qid, tid, cqs, cqe, cts, cte, vq, vm, iden, not_self,
               T: int, min_dp: int, end_clip: int):
     """Coverage sweep over the 4 events per original (ma_hit_sub,
     hit.c:109-160).  Returns (s, e, del, has_query, n_remained) with
-    tables of length T (slot T-1 is the scatter dump).
+    tables of length T (slot T-1 is never a real read).
 
-    TPU cost notes: scatters price by index count (~5 ms per 2.6M-index
-    scatter measured on v5e), so every per-read table is produced by
-    compact-then-scatter — winners are <=1 per segment and segment starts
-    are <=T, so nonzero() shrinks the index arrays from 4N to T before the
-    writes.  Sentinel events (key=BIG, delta=0) keep every valid row's
-    segment present in the sorted array, which makes has_query a segment-
-    presence bit instead of two more scatters.  The per-segment depth
-    rebase is free: every ok side contributes a (+1,-1) pair, so segment
-    sums are zero and the global cumsum IS the segment-local depth."""
+    TPU cost notes: scatters and nonzero() price by SOURCE index count
+    (~5-23 ms per 4N-index op measured on v5e), so this pass uses neither:
+    the sorted event array is reduced per segment with one lexicographic
+    argcummax scan, and the T-sized tables are read off the segment
+    boundaries (searchsorted) with O(T) gathers.  Sentinel events
+    (key=BIG, delta=0) keep every valid row's segment present, so
+    has_query is plain segment presence.  The per-segment depth rebase is
+    free: every ok side contributes a (+1,-1) pair, so segment sums are
+    zero and the global cumsum IS the segment-local depth."""
     n = qid.shape[0]
     n4 = 4 * n
     dump = T - 1
@@ -130,38 +130,25 @@ def _sub_pass(qid, tid, cqs, cqe, cts, cte, vq, vm, iden, not_self,
     start_pos = ffill(is_start_tr, pos)
     length = jnp.where(is_end_tr, pos - start_pos, -1)
 
-    # first row achieving the segment max, strict-> compare like the
-    # reference's `len > max.e - max.s` (hit.c:142): larger than everything
-    # before it, >= everything after it
-    prev_seg = jnp.concatenate([seg[:1] - 1, seg[:-1]])
-    pref = seg_cummax(seg, length, reverse=False)
-    pref_before = jnp.concatenate([jnp.full((1,), -1, I32), pref[:-1]])
-    pref_before = jnp.where(seg == prev_seg, pref_before, -1)
-    suf = seg_cummax(seg, length, reverse=True)
-    winner = is_end_tr & (length > 0) & (length >= suf) & (length > pref_before)
-
-    # winners: <=1 per segment -> compact to T indices, then scatter.
-    # fill rows duplicate row n4-1; if that row IS a winner the duplicates
-    # rewrite the same (seg, value) pair, which is harmless.
-    widx = jnp.nonzero(winner, size=T, fill_value=n4 - 1)[0]
-    wvalid = winner[widx]
-    wseg = jnp.where(wvalid, seg[widx], dump)  # winner segs are < T-1
-    s_tab = jnp.zeros(T, I32).at[wseg].set(jnp.where(wvalid, start_pos[widx], 0))
-    e_tab = jnp.zeros(T, I32).at[wseg].set(jnp.where(wvalid, pos[widx], 0))
-    has_region = jnp.zeros(T, bool).at[wseg].set(wvalid)
-    has_region = has_region.at[dump].set(False)
-
-    # reads appearing as query of any (valid) row form a group even when all
-    # their events are skipped (self matches / identity failures): they get
-    # del=1 (hit.c:115,152).  The sentinel events guarantee such rows still
-    # occupy their segment, so presence = "segment has a first row".
-    new_seg = seg != prev_seg
-    sidx = jnp.nonzero(new_seg, size=T + 1, fill_value=n4 - 1)[0]
-    sseg = seg[sidx]
-    svalid = new_seg[sidx] & (sseg < segpad)
-    has_query = jnp.zeros(T, bool).at[
-        jnp.where(svalid, jnp.minimum(sseg, dump), dump)].set(svalid)
-    has_query = has_query.at[dump].set(False)
+    # The reference keeps the FIRST interval attaining the segment max
+    # (`len > max.e - max.s`, hit.c:142) == the lexicographic max of
+    # (length, -row) per segment.  The events are segment-sorted, so the
+    # per-read tables come from searchsorted boundaries + O(T) gathers:
+    # no scatter, no nonzero (both price per SOURCE index, ~5-23 ms at 4N;
+    # this whole block is ~1 ms).
+    idxs = jnp.arange(n4, dtype=I32)
+    bl, bni = seg_argcummax(seg, length, -idxs)
+    first = jnp.searchsorted(seg, jnp.arange(T + 1, dtype=I32), side="left")
+    lastrow = jnp.maximum(first[1:] - 1, 0)          # last row of segment t
+    # presence == has_query: the sentinel events keep every valid row's
+    # segment non-empty even when all its events are skipped (self matches
+    # / identity failures), matching the del=1 rule of hit.c:115,152
+    has_query = first[1:] > first[:T]
+    seg_maxlen = jnp.where(has_query, bl[lastrow], -1)
+    widx = jnp.where(has_query, -bni[lastrow], 0)
+    has_region = has_query & (seg_maxlen > 0)
+    s_tab = jnp.where(has_region, start_pos[widx], 0)
+    e_tab = jnp.where(has_region, pos[widx], 0)
 
     s = jnp.where(has_region, s_tab - end_clip, 0)
     e = jnp.where(has_region, e_tab + end_clip, 0)

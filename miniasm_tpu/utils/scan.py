@@ -42,6 +42,21 @@ def seg_cummax(seg, val, reverse: bool = False):
     return out
 
 
+def seg_argcummax(seg, val, payload):
+    """Inclusive running LEXICOGRAPHIC max of (val, payload) within
+    contiguous equal-`seg` runs; returns (best_val, best_payload) per row.
+    With payload = -row_index, the value at a segment's last row identifies
+    the FIRST row attaining the segment max."""
+    def combine(a, b):
+        as_, av, ap = a
+        bs_, bv, bp = b
+        take_a = (as_ == bs_) & ((av > bv) | ((av == bv) & (ap > bp)))
+        return (bs_, jnp.where(take_a, av, bv), jnp.where(take_a, ap, bp))
+
+    _, v, p = jax.lax.associative_scan(combine, (seg, val, payload))
+    return v, p
+
+
 def seg_base(seg, val):
     """Per row, `val` at the first row of its contiguous `seg` run.
 
