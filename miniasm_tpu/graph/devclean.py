@@ -54,43 +54,39 @@ def _pow2(x: int) -> int:
     return n
 
 
-def build_tables(g: Graph):
-    """(Vp, Dp) neighbor tables from the CSR graph (host, cheap).  Shapes
-    are padded to power-of-two buckets so repeated detections within a run
-    (after commits shrink the graph) reuse the same compiled kernel.
-    Requires a compacted graph (no tombstones): detection is only invoked
-    right after a cleanup, like every reference pass.
+def build_arcs(g: Graph):
+    """Compacted per-arc columns + per-vertex delete bits for the device
+    table build.  Shapes are padded to power-of-two buckets so repeated
+    detections within a run (after commits shrink the graph) reuse the
+    same compiled kernel.  Requires a compacted graph (no tombstones):
+    detection is only invoked right after a cleanup, like every reference
+    pass.
 
-    When vertex ids and lengths fit, the tables ship as uint16 with 65535
-    as the padding sentinel (the kernel re-widens it); this halves the
-    ~70 MB/s host->device transfer, which otherwise dominates detection on
-    an E. coli-scale graph (3x 2 MB tables)."""
+    Uploading the O(n_arc) arc columns (uint16 when values fit) instead
+    of the (Vp, Dp) neighbor tables cuts the detect-path H2D transfer
+    ~10x (0.3 MB vs 3 MB at ~70 MB/s); the kernel scatters the tables in
+    ~1 ms.  Arc padding uses u = Vp, which scatters out of bounds with
+    mode='drop'."""
     assert not g.adel.any(), "detect() requires a compacted graph"
     V = g.n_vtx
     D = max(int(g.idx_cnt.max()) if g.n_arc else 1, 1)
     Vp = _pow2(max(V, 2))
     Dp = _pow2(D)
-    rows = g.u.astype(np.int64)
-    slots = np.arange(g.n_arc, dtype=np.int64) - g.idx_start[rows]
-    maxval = max(V, int(g.l.max()) if g.n_arc else 0,
+    Ap = _pow2(max(g.n_arc, 1))
+    maxval = max(Vp + 1, int(g.l.max()) if g.n_arc else 0,
                  int(g.ol.max()) if g.n_arc else 0)
-    u16 = maxval < 65535
-    if u16:
-        nbr_v = np.full((Vp, Dp), 65535, dtype=np.uint16)
-        nbr_l = np.full((Vp, Dp), 65535, dtype=np.uint16)
-        nbr_ol = np.zeros((Vp, Dp), dtype=np.uint16)
-    else:
-        nbr_v = np.full((Vp, Dp), -1, dtype=np.int32)
-        nbr_l = np.full((Vp, Dp), np.int32(2**31 - 1), dtype=np.int32)
-        nbr_ol = np.zeros((Vp, Dp), dtype=np.int32)
-    nbr_v[rows, slots] = g.v
-    nbr_l[rows, slots] = g.l
-    nbr_ol[rows, slots] = g.ol
-    nv = np.zeros(Vp, dtype=np.int32)
-    nv[:V] = g.idx_cnt.astype(np.int32)
+    dt = np.uint16 if maxval < 65535 else np.int32
+    au = np.full(Ap, Vp, dtype=dt)
+    al = np.zeros(Ap, dtype=dt)
+    aol = np.zeros(Ap, dtype=dt)
+    av = np.zeros(Ap, dtype=dt)
+    au[:g.n_arc] = g.u.astype(dt)
+    al[:g.n_arc] = g.l.astype(dt)
+    aol[:g.n_arc] = g.ol.astype(dt)
+    av[:g.n_arc] = g.v.astype(dt)
     sdel_v = np.ones(Vp, dtype=bool)  # padding vertices are "deleted"
     sdel_v[:V] = g.sdel[np.arange(V) >> 1]
-    return nbr_v, nbr_l, nbr_ol, nv, sdel_v, V, Vp, Dp
+    return au, al, av, aol, sdel_v, V, Vp, Dp, Ap
 
 
 def _short_frac_cut() -> float:
@@ -110,17 +106,30 @@ def _short_frac_cut() -> float:
 
 @functools.partial(jax.jit, static_argnames=("Vp", "Dp", "n_chunks", "fuzz",
                                              "ratios", "max_ext", "do_trans",
-                                             "do_symm"))
-def _clean_kernel(nbr_v, nbr_l, nbr_ol, nv, sdel_v, *, Vp, Dp, n_chunks,
-                  fuzz, ratios, max_ext, do_trans, do_symm):
+                                             "do_symm", "row_sharding"))
+def _clean_kernel(au, al, av, aol, sdel_v, *, Vp, Dp, n_chunks,
+                  fuzz, ratios, max_ext, do_trans, do_symm,
+                  row_sharding=None):
     D = Dp
-    if nbr_v.dtype == jnp.uint16:
-        # re-widen the u16 transfer encoding (sentinel 65535 -> -1 / BIG)
-        v32 = nbr_v.astype(I32)
-        nbr_v = jnp.where(v32 == 65535, -1, v32)
-        l32 = nbr_l.astype(I32)
-        nbr_l = jnp.where(l32 == 65535, jnp.int32(2**31 - 1), l32)
-        nbr_ol = nbr_ol.astype(I32)
+    # ---- build the (Vp, Dp) neighbor tables from the CSR-ordered arc
+    # columns: slot = position within the source vertex's run; padding
+    # arcs carry u = Vp and drop out of bounds ----
+    au = au.astype(I32)
+    first = jnp.searchsorted(au, jnp.arange(Vp + 1, dtype=I32), side="left")
+    nv = (first[1:] - first[:Vp]).astype(I32)
+    slots = jnp.arange(au.shape[0], dtype=I32) - first[jnp.minimum(au, Vp)]
+    nbr_v = jnp.full((Vp, D), -1, I32).at[au, slots].set(
+        av.astype(I32), mode="drop")
+    nbr_l = jnp.full((Vp, D), jnp.int32(2**31 - 1)).at[au, slots].set(
+        al.astype(I32), mode="drop")
+    nbr_ol = jnp.zeros((Vp, D), I32).at[au, slots].set(
+        aol.astype(I32), mode="drop")
+    if row_sharding is not None:
+        # multi-device: vertex tables row-sharded over the mesh; XLA
+        # inserts the collectives for cross-row neighbor reads
+        nbr_v = jax.lax.with_sharding_constraint(nbr_v, row_sharding)
+        nbr_l = jax.lax.with_sharding_constraint(nbr_l, row_sharding)
+        nbr_ol = jax.lax.with_sharding_constraint(nbr_ol, row_sharding)
     clen = Vp // n_chunks
     c0s = jnp.arange(n_chunks, dtype=I32) * clen
 
@@ -281,16 +290,17 @@ def detect(g: Graph, opt, *, do_trans: bool, do_symm: bool = True,
     per-slot masks (numpy (n_arc,) bool in CSR arc order), candidate
     vertex masks ((n_vtx,) bool), and counters.
 
-    With a mesh, the (Vp, Dp) vertex tables are row-sharded over the mesh
-    and the same jitted kernel runs SPMD — XLA inserts the all_gathers for
-    the cross-row neighbor reads and psums for the counters."""
-    nbr_v, nbr_l, nbr_ol, nv, sdel_v, V, Vp, Dp = build_tables(g)
+    With a mesh, the kernel's inputs are replicated and its vertex tables
+    form on device; the same jitted kernel runs SPMD with XLA inserting
+    the collectives for the cross-row neighbor reads."""
+    au, al, av, aol, sdel_v, V, Vp, Dp, Ap = build_arcs(g)
     ratios = _ratio_schedule(opt)
     n_chunks = 1
     while Vp // n_chunks * Dp * Dp * 4 > _CHUNK_BYTES and n_chunks < Vp:
         n_chunks *= 2
-    tabs = [jnp.asarray(nbr_v), jnp.asarray(nbr_l), jnp.asarray(nbr_ol),
-            jnp.asarray(nv), jnp.asarray(sdel_v)]
+    tabs = [jnp.asarray(au), jnp.asarray(al), jnp.asarray(av),
+            jnp.asarray(aol), jnp.asarray(sdel_v)]
+    row_sharding = None
     if mesh is not None and Vp >= mesh.devices.size:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -298,14 +308,14 @@ def detect(g: Graph, opt, *, do_trans: bool, do_symm: bool = True,
         if n_chunks % n_sh:  # chunked lax.map must split evenly per shard
             n_chunks = max(n_chunks, n_sh)
         ax = mesh.axis_names[0]
-        row = NamedSharding(mesh, P(ax))
-        tabs = [jax.device_put(np.asarray(t),
-                               NamedSharding(mesh, P(ax, None))
-                               if t.ndim == 2 else row) for t in tabs]
+        rep = NamedSharding(mesh, P())
+        tabs = [jax.device_put(np.asarray(t), rep) for t in tabs]
+        row_sharding = NamedSharding(mesh, P(ax, None))
     bits, cands, counters = _clean_kernel(
         *tabs, Vp=Vp, Dp=Dp,
         n_chunks=n_chunks, fuzz=int(opt.gap_fuzz), ratios=ratios,
-        max_ext=int(opt.max_ext), do_trans=do_trans, do_symm=do_symm)
+        max_ext=int(opt.max_ext), do_trans=do_trans, do_symm=do_symm,
+        row_sharding=row_sharding)
     bits, cands, counters = jax.device_get((bits, cands, counters))
     rows = g.u.astype(np.int64)
     slots = np.arange(g.n_arc, dtype=np.int64) - g.idx_start[rows]
