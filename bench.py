@@ -78,13 +78,24 @@ def run_ref(exe, paf):
     return time.time() - t0
 
 
+def count_overlaps(paf):
+    """Mirrored-hit count = the reference's unit of work (hit.c:92-98)."""
+    n = 0
+    with open(paf) as f:
+        for line in f:
+            t = line.split("\t", 6)
+            n += 1 if t[0] == t[5] else 2
+    return n
+
+
 def main():
     genome_len = int(os.environ.get("BENCH_GENOME", 4_600_000))
     coverage = float(os.environ.get("BENCH_COV", 40))
     paf = prepare_data(genome_len, coverage)
 
-    # warm-up ours once (compile caches), then measure
-    run_ours(paf)
+    # warm-up ours once (first run pays any uncached XLA compiles; steady-
+    # state runs use the persistent cache), then measure
+    cold = run_ours(paf)
     ours = min(run_ours(paf) for _ in range(2))
 
     exe = build_reference()
@@ -92,9 +103,15 @@ def main():
         ref = min(run_ref(exe, paf) for _ in range(3))
         vs = ref / ours if ours > 0 else 0.0
     else:
+        ref = 0.0
         vs = 0.0
+    n_ovlp = count_overlaps(paf)
     print(json.dumps({"metric": "paf_to_gfa_wall", "value": round(ours, 3),
-                      "unit": "s", "vs_baseline": round(vs, 3)}))
+                      "unit": "s", "vs_baseline": round(vs, 3),
+                      "overlaps": n_ovlp,
+                      "overlaps_per_s": round(n_ovlp / ours) if ours else 0,
+                      "ref_s": round(ref, 3), "cold_s": round(cold, 3),
+                      "genome_len": genome_len, "coverage": coverage}))
 
 
 if __name__ == "__main__":
