@@ -152,11 +152,18 @@ class _Cleaner:
             cur = nxt
         return out
 
-    def _ordered_commit(self, cand_mask, want_start, want_ext, commit_fn):
+    def _ordered_commit(self, cand_mask, want_start, want_ext, commit_fn,
+                        max_ext=None):
         """Reference in-order scan over candidates with worklist expansion.
         commit_fn(v, chain_code, chain) mutates the graph and returns the
-        vertex set it touched (or None if it declined); returns #commits."""
+        vertex set it touched (or None if it declined); returns #commits.
+        max_ext defaults to opt.max_ext (tips/bi-loops); cut_internal must
+        pass 1 (reference hard-codes asg_cut_internal(sg, 1), main.c:177).
+        The device candidate masks are computed with opt.max_ext and remain
+        a valid superset; _affected also keeps the opt.max_ext+2 radius."""
         g = self.g
+        if max_ext is None:
+            max_ext = self.opt.max_ext
         heap = [int(v) for v in np.flatnonzero(cand_mask)]
         heapq.heapify(heap)
         cnt = 0
@@ -170,7 +177,7 @@ class _Cleaner:
                 continue
             if is_utg_end(g, v)[0] != want_start:
                 continue
-            ret, chain = extend(g, v, self.opt.max_ext)
+            ret, chain = extend(g, v, max_ext)
             if not want_ext(ret):
                 continue
             touched = commit_fn(v, ret, chain)
@@ -224,7 +231,8 @@ class _Cleaner:
             return touched
 
         cnt = self._ordered_commit(self.det["internal"], ET_MULTI_NEI,
-                                   lambda r: r == ET_MULTI_NEI, commit)
+                                   lambda r: r == ET_MULTI_NEI, commit,
+                                   max_ext=1)
         if cnt > 0:
             self.g = cleanup(self.g)
             self.redetect()

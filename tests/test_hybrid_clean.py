@@ -98,6 +98,24 @@ def test_hybrid_matches_python_on_random_graphs(seed, stage):
     assert _state(g_h) == _state(g_p), "seed=%d stage=%d" % (seed, stage)
 
 
+@pytest.mark.parametrize("seed", range(24))
+def test_hybrid_cut_internal_isolated(seed):
+    """cut_internal in isolation: the reference hard-codes max_ext=1
+    (main.c:177), NOT opt.max_ext — the hybrid commit must re-validate
+    with 1 even though the device candidate mask uses opt.max_ext (a
+    valid superset: extend(v,1)==MULTI_NEI implies extend(v,4) walked
+    through the same first hop)."""
+    from miniasm_tpu.graph.hybrid import _Cleaner
+    rng = np.random.default_rng(1000 + seed)
+    g = random_graph(rng, n_seq=30 + seed * 3, n_pairs=50 + seed * 6,
+                     asym_frac=0.0)
+    opt = Opt()
+    cl = _Cleaner(copy.deepcopy(g), opt, do_trans=False)
+    cl.cut_internal()
+    g_p, _ = cut_internal(copy.deepcopy(g), 1)
+    assert _state(cl.g) == _state(g_p), "seed=%d" % seed
+
+
 def test_hybrid_trans_zero_with_asymm():
     """Force the trans==0 + asymm>0 window: a pure chain with one dangling
     asymmetric arc reduces nothing transitively, so the reference's
