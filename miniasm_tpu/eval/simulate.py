@@ -86,13 +86,74 @@ def paf_records(sim):
         active.append(i)
 
 
+def paf_arrays(sim):
+    """Vectorized equivalent of paf_records: returns the same records, in
+    the same order, as parallel numpy arrays (qi, qs, qe, rev, ti, ts, te,
+    ml) where qi/ti index sim['names'].  Used for worm-scale generation
+    where the per-pair Python sweep is minutes."""
+    gs, ge, ori = sim["gs"], sim["ge"], sim["ori"]
+    lens = sim["lens"]
+    order = np.asarray(sim["order"])
+    min_emit = sim["min_ovlp_emit"]
+    s_gs = gs[order]          # sorted starts (stable, ties in read order)
+    s_ge = ge[order]
+    n = len(order)
+    # pair (oj, oi), oj < oi, with gs_sorted[oi] < ge_sorted[oj]: for each
+    # query oj the candidate targets are the contiguous range (oj, hi_j)
+    # because starts are sorted; emission order is (oi asc, oj asc) — the
+    # sweep emits, at step oi, all surviving actives in insertion order.
+    hi = np.searchsorted(s_gs, s_ge, side="left")
+    hi = np.maximum(hi, np.arange(n) + 1)
+    cnt = hi - np.arange(n) - 1
+    tot = int(cnt.sum())
+    oj = np.repeat(np.arange(n, dtype=np.int64), cnt)
+    # oi = oj + 1 .. hi_j - 1 per block
+    off = np.arange(tot, dtype=np.int64) - np.repeat(
+        np.cumsum(cnt) - cnt, cnt)
+    oi = oj + 1 + off
+    s = np.maximum(s_gs[oi], s_gs[oj])
+    e = np.minimum(s_ge[oi], s_ge[oj])
+    keep = (e - s) >= min_emit
+    oi, oj, s, e = oi[keep], oj[keep], s[keep], e[keep]
+    sel = np.lexsort((oj, oi))
+    oi, oj, s, e = oi[sel], oj[sel], s[sel], e[sel]
+    qi, ti = order[oj], order[oi]
+
+    def proj(idx, s, e):
+        fwd = ori[idx] == 0
+        ps = np.where(fwd, s - gs[idx], ge[idx] - e)
+        pe = np.where(fwd, e - gs[idx], ge[idx] - s)
+        return ps, pe
+
+    qs, qe = proj(qi, s, e)
+    ts, te = proj(ti, s, e)
+    rev = (ori[qi] != ori[ti])
+    return dict(qi=qi, ql=lens[qi], qs=qs, qe=qe, rev=rev,
+                ti=ti, tl=lens[ti], ts=ts, te=te, ml=e - s)
+
+
 def write_paf(sim, path) -> int:
-    cnt = 0
-    with open(path, "w") as f:
-        for r in paf_records(sim):
-            f.write("%s\t%d\t%d\t%d\t%s\t%s\t%d\t%d\t%d\t%d\t%d\tcm:i:%d\n"
-                    % (r + (r[9] // 50,)))
-            cnt += 1
+    """Byte-identical to the original per-record writer, but vectorized:
+    column int->str conversion in numpy chunks (worm-scale PAFs are ~20M
+    lines; the naive loop is >10 min, this is seconds)."""
+    a = paf_arrays(sim)
+    names = np.asarray(sim["names"])
+    cnt = len(a["qi"])
+    CH = 1 << 20
+    fmt = "%s\t%d\t%d\t%d\t%s\t%s\t%d\t%d\t%d\t%d\t%d\tcm:i:%d"
+    with open(path, "w", buffering=1 << 22) as f:
+        for i0 in range(0, cnt, CH):
+            sl = slice(i0, min(i0 + CH, cnt))
+            rows = zip(names[a["qi"][sl]].tolist(), a["ql"][sl].tolist(),
+                       a["qs"][sl].tolist(), a["qe"][sl].tolist(),
+                       np.where(a["rev"][sl], "-", "+").tolist(),
+                       names[a["ti"][sl]].tolist(), a["tl"][sl].tolist(),
+                       a["ts"][sl].tolist(), a["te"][sl].tolist(),
+                       a["ml"][sl].tolist())
+            f.write("\n".join(
+                fmt % (q, ql, qs, qe, r, t, tl, ts, te, ml, ml, ml // 50)
+                for q, ql, qs, qe, r, t, tl, ts, te, ml in rows))
+            f.write("\n")
     return cnt
 
 

@@ -252,15 +252,11 @@ def load_hits_v2(fn, min_span, min_match, excl=None, bi_dir=True,
     d = h.seqdict()
     if not upload:
         return colmat, d, h
-    # Halve the H2D transfer when every column fits uint16 (coordinates
-    # bounded by max_len, ids by the padding sentinel n_seq_cap+1, flags
-    # by 7); the kernel upcasts on device.  The tunnel moves ~70 MB/s, so
-    # this is worth ~0.1 s on an E. coli-scale load.
-    n_seq_cap = 1
-    while n_seq_cap < max(d.n_seq, 1):
-        n_seq_cap <<= 1
-    if h.max_len < 65535 and n_seq_cap + 1 < 65536:
-        colmat = colmat.astype(np.uint16)
+    # Upload as int32.  A uint16 device array would halve the H2D bytes,
+    # but this backend's sub-word transfer path is pathological (measured:
+    # D2H of a 50 MB uint16 array takes 133 s vs 2.9 s for 99 MB of int32,
+    # and jit lowering does one such fetch of the argument) — never put
+    # sub-word arrays on the device.
     colmat_dev = jax.device_put(colmat)
     return colmat_dev, d, h
 

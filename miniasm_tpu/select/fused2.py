@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.hit2arc import hit2arc, MA_HT_QCONT, MA_HT_TCONT
-from ..utils.scan import ffill, seg_argcummax
+from ..utils.scan import ffill, seg_reduce_argmax
 
 I32 = jnp.int32
 BIG = jnp.int32(2**31 - 1)
@@ -131,21 +131,18 @@ def _sub_pass(qid, tid, cqs, cqe, cts, cte, vq, vm, iden, not_self,
     length = jnp.where(is_end_tr, pos - start_pos, -1)
 
     # The reference keeps the FIRST interval attaining the segment max
-    # (`len > max.e - max.s`, hit.c:142) == the lexicographic max of
-    # (length, -row) per segment.  The events are segment-sorted, so the
-    # per-read tables come from searchsorted boundaries + O(T) gathers:
-    # no scatter, no nonzero (both price per SOURCE index, ~5-23 ms at 4N;
-    # this whole block is ~1 ms).
-    idxs = jnp.arange(n4, dtype=I32)
-    bl, bni = seg_argcummax(seg, length, -idxs)
+    # (`len > max.e - max.s`, hit.c:142) == per segment, the max length and
+    # the smallest row attaining it.  Two native scatter reductions
+    # (~10 ms at 4N on v5e) — an associative_scan formulation runs as fast
+    # but its TPU compile time explodes past 3.5M rows (>15 min at 14M).
+    bl_seg, wi_seg = seg_reduce_argmax(seg, length, T + 1)
     first = jnp.searchsorted(seg, jnp.arange(T + 1, dtype=I32), side="left")
-    lastrow = jnp.maximum(first[1:] - 1, 0)          # last row of segment t
     # presence == has_query: the sentinel events keep every valid row's
     # segment non-empty even when all its events are skipped (self matches
     # / identity failures), matching the del=1 rule of hit.c:115,152
     has_query = first[1:] > first[:T]
-    seg_maxlen = jnp.where(has_query, bl[lastrow], -1)
-    widx = jnp.where(has_query, -bni[lastrow], 0)
+    seg_maxlen = jnp.where(has_query, jnp.maximum(bl_seg[:T], -1), -1)
+    widx = jnp.minimum(jnp.where(has_query, wi_seg[:T], 0), n4 - 1)
     has_region = has_query & (seg_maxlen > 0)
     s_tab = jnp.where(has_region, start_pos[widx], 0)
     e_tab = jnp.where(has_region, pos[widx], 0)
