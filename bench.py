@@ -78,12 +78,17 @@ def run_ref(exe, paf):
     return time.time() - t0
 
 
-def count_overlaps(paf):
-    """Mirrored-hit count = the reference's unit of work (hit.c:92-98)."""
+def count_overlaps(paf, min_span=2000, min_match=100):
+    """Mirrored-hit count after the read filters = the reference's unit of
+    work (span/match gates at hit.c:80-92, mirror at hit.c:92-98)."""
     n = 0
     with open(paf) as f:
         for line in f:
-            t = line.split("\t", 6)
+            t = line.split("\t", 10)
+            if (int(t[3]) - int(t[2]) < min_span
+                    or int(t[8]) - int(t[7]) < min_span
+                    or int(t[9]) < min_match):
+                continue
             n += 1 if t[0] == t[5] else 2
     return n
 

@@ -72,15 +72,22 @@ def main(argv):
                       or os.environ["JAX_PLATFORMS"])
 
     paf = os.environ.get("SCALING_PAF")
-    if not paf:
-        import tempfile
+    tmp = None
+    try:
+        if not paf:
+            import tempfile
 
-        from .simulate import simulate, write_paf
+            from .simulate import simulate, write_paf
 
-        sim = simulate(genome_len=1_000_000, coverage=30.0, seed=11)
-        paf = tempfile.mktemp(suffix=".paf")
-        write_paf(sim, paf)
-    print(json.dumps(measure(paf, ns)))
+            sim = simulate(genome_len=1_000_000, coverage=30.0, seed=11)
+            fd, tmp = tempfile.mkstemp(suffix=".paf")
+            os.close(fd)
+            paf = tmp
+            write_paf(sim, paf)
+        print(json.dumps(measure(paf, ns)))
+    finally:
+        if tmp:
+            os.unlink(tmp)
     return 0
 
 

@@ -305,8 +305,13 @@ def detect(g: Graph, opt, *, do_trans: bool, do_symm: bool = True,
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         n_sh = mesh.devices.size
-        if n_chunks % n_sh:  # chunked lax.map must split evenly per shard
-            n_chunks = max(n_chunks, n_sh)
+        if n_chunks % n_sh:
+            # chunked lax.map must split evenly per shard AND n_chunks
+            # must divide Vp (a power of two): round n_sh up to pow2
+            p2 = 1
+            while p2 < n_sh:
+                p2 <<= 1
+            n_chunks = max(n_chunks, p2)
         ax = mesh.axis_names[0]
         rep = NamedSharding(mesh, P())
         tabs = [jax.device_put(np.asarray(t), rep) for t in tabs]

@@ -107,7 +107,6 @@ struct FastxReader {
             }
             if (!primed) return false;
         }
-        bool is_fastq = line[0] == '@';
         size_t sp = line.find_first_of(" \t", 1);
         name.assign(line, 1, (sp == std::string::npos ? line.size() : sp) - 1);
         seq.clear();
@@ -118,13 +117,13 @@ struct FastxReader {
                 break;
             }
             if (!line.empty() && line[0] == '+') {
-                if (is_fastq) {
-                    // skip quality until it covers the sequence
-                    size_t qlen = 0;
-                    while (qlen < seq.size() && gz.getline_(line))
-                        qlen += line.size();
-                }
-                break;  // '+' terminates the sequence block either way
+                // kseq.h semantics: '+' always enters quality-skipping
+                // mode (even for '>' records) and consumes lines until
+                // the accumulated quality covers the sequence
+                size_t qlen = 0;
+                while (qlen < seq.size() && gz.getline_(line))
+                    qlen += line.size();
+                break;
             }
             seq += line;
         }

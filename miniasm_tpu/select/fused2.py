@@ -79,23 +79,27 @@ def _unpack_tab(words, idx, pack_se: bool):
 
 
 def _sub_pass(qid, tid, cqs, cqe, cts, cte, vq, vm, iden, not_self,
-              T: int, min_dp: int, end_clip: int):
+              T: int, min_dp: int, end_clip: int, pack15: bool = False):
     """Coverage sweep over the 4 events per original (ma_hit_sub,
     hit.c:109-160).  Returns (s, e, del, has_query, n_remained) with
     tables of length T (slot T-1 is never a real read).
 
-    TPU cost notes: scatters and nonzero() price by SOURCE index count
-    (~5-23 ms per 4N-index op measured on v5e), so this pass uses neither:
-    the sorted event array is reduced per segment with one lexicographic
-    argcummax scan, and the T-sized tables are read off the segment
-    boundaries (searchsorted) with O(T) gathers.  Sentinel events
-    (key=BIG, delta=0) keep every valid row's segment present, so
-    has_query is plain segment presence.  The per-segment depth rebase is
-    free: every ok side contributes a (+1,-1) pair, so segment sums are
-    zero and the global cumsum IS the segment-local depth."""
+    TPU cost notes (measured on v5e, 11.3M events): gathers and scatter
+    reductions price ~8.7 ns per SOURCE index, searchsorted ~5 ns/elem,
+    sorts ~1.7 ns/elem/key, cumulative ops and elementwise ~free.  The
+    pass therefore spends one 2-key sort, one cummax+gather (ffill), and
+    — when coordinates fit 15 bits (pack15) — a single packed segment_min
+    that yields the winning interval's (length, start) in one reduction:
+    the reference keeps the FIRST longest region (`len > max.e - max.s`,
+    hit.c:142); end-transition positions are strictly increasing within a
+    segment, so "first row attaining the max" == "smallest end pos" ==
+    "smallest start pos" (start = end - len), and the lexicographic min of
+    (neg_len<<15 | start_pos) picks it exactly.  has_query comes from two
+    N-source scatters instead of a 4N searchsorted.  The per-segment depth
+    rebase is free: every ok side contributes a (+1,-1) pair, so segment
+    sums are zero and the global cumsum IS the segment-local depth."""
     n = qid.shape[0]
     n4 = 4 * n
-    dump = T - 1
     segpad = jnp.int32(T)
 
     okq = vq & not_self & iden
@@ -128,24 +132,32 @@ def _sub_pass(qid, tid, cqs, cqe, cts, cte, vq, vm, iden, not_self,
     # every end-transition pairs with the most recent start-transition, which
     # is in its own segment (depth enters and leaves each segment at 0)
     start_pos = ffill(is_start_tr, pos)
-    length = jnp.where(is_end_tr, pos - start_pos, -1)
 
-    # The reference keeps the FIRST interval attaining the segment max
-    # (`len > max.e - max.s`, hit.c:142) == per segment, the max length and
-    # the smallest row attaining it.  Two native scatter reductions
-    # (~10 ms at 4N on v5e) — an associative_scan formulation runs as fast
-    # but its TPU compile time explodes past 3.5M rows (>15 min at 14M).
-    bl_seg, wi_seg = seg_reduce_argmax(seg, length, T + 1)
-    first = jnp.searchsorted(seg, jnp.arange(T + 1, dtype=I32), side="left")
-    # presence == has_query: the sentinel events keep every valid row's
-    # segment non-empty even when all its events are skipped (self matches
-    # / identity failures), matching the del=1 rule of hit.c:115,152
-    has_query = first[1:] > first[:T]
-    seg_maxlen = jnp.where(has_query, jnp.maximum(bl_seg[:T], -1), -1)
-    widx = jnp.minimum(jnp.where(has_query, wi_seg[:T], 0), n4 - 1)
-    has_region = has_query & (seg_maxlen > 0)
-    s_tab = jnp.where(has_region, start_pos[widx], 0)
-    e_tab = jnp.where(has_region, pos[widx], 0)
+    # presence == has_query: a read keeps its table entry whenever any of
+    # its rows' sides is valid, even when all its events are skipped (self
+    # matches / identity failures), matching the del=1 rule of hit.c:115,152
+    has_query = (jnp.zeros(T, bool)
+                 .at[jnp.minimum(jnp.where(vq, qid, T - 1), T - 1)].set(vq)
+                 .at[jnp.minimum(jnp.where(vm, tid, T - 1), T - 1)].set(vm))
+
+    if pack15:
+        NEG = jnp.int32(0x7FFF)
+        length15 = jnp.minimum(pos - start_pos, NEG)
+        packed = jnp.where(is_end_tr & (length15 > 0),
+                           ((NEG - length15) << 15) | start_pos, BIG)
+        w = jax.ops.segment_min(packed, seg, num_segments=T + 1)[:T]
+        has_region = has_query & (w != BIG)
+        seg_maxlen = jnp.where(has_region, NEG - (w >> 15), -1)
+        s_tab = jnp.where(has_region, w & NEG, 0)
+        e_tab = jnp.where(has_region, s_tab + seg_maxlen, 0)
+    else:
+        length = jnp.where(is_end_tr, pos - start_pos, -1)
+        bl_seg, wi_seg = seg_reduce_argmax(seg, length, T + 1)
+        seg_maxlen = jnp.where(has_query, jnp.maximum(bl_seg[:T], -1), -1)
+        widx = jnp.minimum(jnp.where(has_query, wi_seg[:T], 0), n4 - 1)
+        has_region = has_query & (seg_maxlen > 0)
+        s_tab = jnp.where(has_region, start_pos[widx], 0)
+        e_tab = jnp.where(has_region, pos[widx], 0)
 
     s = jnp.where(has_region, s_tab - end_clip, 0)
     e = jnp.where(has_region, e_tab + end_clip, 0)
@@ -203,9 +215,10 @@ def _cut_pass(qid, tid, cqs, cqe, cts, cte, rev, words, pack_se: bool,
 
 @functools.partial(jax.jit, static_argnames=(
     "n_seq_cap", "min_span", "min_dp", "max_hang", "int_frac", "min_ovlp",
-    "bi_dir", "pack_se", "arc_cap", "pack_io"))
+    "bi_dir", "pack_se", "arc_cap", "pack_io", "pack15"))
 def _select2_kernel(colmat, *, n_seq_cap, min_span, min_dp, max_hang,
-                    int_frac, min_ovlp, bi_dir, pack_se, arc_cap, pack_io):
+                    int_frac, min_ovlp, bi_dir, pack_se, arc_cap, pack_io,
+                    pack15):
     """colmat: (7, N) int32 or uint16 originals [qid qs qe tid ts te flags],
     flags bit0=valid bit1=rev bit2=iden_ok; padding rows have
     qid=n_seq_cap+1, flags=0.  pack_io (coordinates < 65535 AND
@@ -223,7 +236,7 @@ def _select2_kernel(colmat, *, n_seq_cap, min_span, min_dp, max_hang,
 
     # --- Step 2: crude sweep, end_clip=0 (main.c:122) + cut ---
     s1, e1, d1, _, n_rem1 = _sub_pass(qid, tid, qs, qe, ts, te, vq, vm,
-                                      iden, not_self, T, min_dp, 0)
+                                      iden, not_self, T, min_dp, 0, pack15)
     w1 = _pack_tab(s1, e1, d1, pack_se)
     keep, qs, qe, ts, te, slq, slt = _cut_pass(qid, tid, qs, qe, ts, te,
                                                rev, w1, pack_se, min_span)
@@ -265,7 +278,7 @@ def _select2_kernel(colmat, *, n_seq_cap, min_span, min_dp, max_hang,
     # exactly the hit_flt coverage denominator set
     s2, e2, d2, has_flt, n_rem2 = _sub_pass(qid, tid, qs, qe, ts, te, vq,
                                             vm, iden, not_self, T, min_dp,
-                                            min_span // 2)
+                                            min_span // 2, pack15)
     sl1 = e1 - s1
     len_lo = jnp.sum(jnp.where(has_flt, sl1 & 1023, 0))
     len_hi = jnp.sum(jnp.where(has_flt, sl1 >> 10, 0))
@@ -289,26 +302,26 @@ def _select2_kernel(colmat, *, n_seq_cap, min_span, min_dp, max_hang,
                  max_hang, int_frac, min_ovlp)
     rq = jnp.where(vq, cq["r"], 0)
     rm = jnp.where(vm, cm["r"], 0)
-    # each side marks at most one read (QCONT -> its query, TCONT -> its
-    # target), so two scatters cover all four reference branches
-    cont_q = jnp.where(rq == MA_HT_QCONT, qid,
-                       jnp.where(rq == MA_HT_TCONT, tid, dump))
-    cont_m = jnp.where(rm == MA_HT_QCONT, tid,
-                       jnp.where(rm == MA_HT_TCONT, qid, dump))
-    cont = jnp.zeros(T, bool).at[jnp.minimum(cont_q, dump)].set(True)
-    cont = cont.at[jnp.minimum(cont_m, dump)].set(True)
-    cont = cont.at[dump].set(False)
-
+    # per row, the qid slot collects used/contained/palindrome bits and the
+    # tid slot used/contained bits; TWO scatter-max ops cover what would be
+    # five boolean scatters (scatters price ~8.7 ns per source index).
+    # QCONT marks the side's query, TCONT its target (hit.c:234-235); the
+    # m-side's query is tid.  Rows never reach slot dump with nonzero bits
+    # (rq/rm/pal are gated on vq/vm), and real ids are < T-1, so no
+    # dump-clear is needed.
     vqm = vq | vm
-    used = jnp.zeros(T, bool).at[jnp.where(vqm, jnp.minimum(qid, dump),
-                                           dump)].set(vqm)
-    used = used.at[jnp.where(vqm, jnp.minimum(tid, dump), dump)].set(vqm)
-    used = used.at[dump].set(False)
-
     pal_rows = vq & (cq["r"] >= 0) & is_self & (qs == ts) & (qe == te) & (rev != 0)
-    pal = jnp.zeros(T, bool).at[
-        jnp.where(pal_rows, jnp.minimum(qid, dump), dump)].set(pal_rows)
-    pal = pal.at[dump].set(False)
+    qbits = (vqm.astype(I32)
+             | (((rq == MA_HT_QCONT) | (rm == MA_HT_TCONT)).astype(I32) << 1)
+             | (pal_rows.astype(I32) << 2))
+    tbits = (vqm.astype(I32)
+             | (((rq == MA_HT_TCONT) | (rm == MA_HT_QCONT)).astype(I32) << 1))
+    tab = (jnp.zeros(T, I32)
+           .at[jnp.minimum(qid, dump)].max(qbits)
+           .at[jnp.minimum(tid, dump)].max(tbits))
+    used = (tab & 1) != 0
+    cont = (tab & 2) != 0
+    pal = (tab & 4) != 0
 
     # device-side squeeze precondition (hit.c:237-251): a read survives iff
     # used, not sub-deleted, not contained; arcs touching dropped reads are
@@ -368,6 +381,7 @@ def select_build2(colmat_dev, d, opt, *, bi_dir: bool, max_len: int,
     n_seq = d.n_seq
     n_seq_cap = _next_pow2(max(n_seq, 1))
     pack_se = bool(max_len < 65535)
+    pack15 = bool(max_len < 32768)
     pack_io = pack_se and n_seq_cap <= 32768
     cap = colmat_dev.shape[1]
     arc_cap = min(_next_pow2(max(65536, 4 * n_seq_cap)), 2 * _next_pow2(cap))
@@ -377,15 +391,22 @@ def select_build2(colmat_dev, d, opt, *, bi_dir: bool, max_len: int,
             colmat_dev, n_seq_cap=n_seq_cap, min_span=opt.min_span,
             min_dp=opt.min_dp, max_hang=opt.max_hang,
             int_frac=float(opt.int_frac), min_ovlp=opt.min_ovlp,
-            bi_dir=bi_dir, pack_se=pack_se, arc_cap=arc_cap, pack_io=pack_io)
+            bi_dir=bi_dir, pack_se=pack_se, arc_cap=arc_cap, pack_io=pack_io,
+            pack15=pack15)
         if not dispatched and on_dispatch is not None:
             on_dispatch()
             dispatched = True
-        arcmat, meta, counts = jax.device_get((arcmat, meta, counts))
+        counts = jax.device_get(counts)
         n_arc = int(counts[6])
         if n_arc <= arc_cap:
             break
         arc_cap = _next_pow2(n_arc)
+    # fetch only the filled arc slots (rounded up to a 64K bucket so the
+    # tiny slice op compiles once per bucket): the tunnel moves ~34 MB/s
+    # D2H, so skipping the empty tail of arcmat is worth more than the
+    # extra slice dispatch
+    fetch_cap = min(arc_cap, max(65536, -(-n_arc // 65536) * 65536))
+    arcmat, meta = jax.device_get((arcmat[:, :fetch_cap], meta))
     if pack_io:
         uv = arcmat[0, :n_arc].astype(np.uint32)
         lol = arcmat[1, :n_arc].astype(np.uint32)
