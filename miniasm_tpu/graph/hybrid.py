@@ -44,7 +44,7 @@ import numpy as np
 from ..utils.timers import log
 from .asg import Graph, cleanup
 from .seqclean import (ET_MERGEABLE, ET_MULTI_NEI, ET_MULTI_OUT, ET_TIP,
-                       extend, is_utg_end, _bub_pop1)
+                       extend, is_utg_end)
 from . import devclean
 
 
@@ -276,27 +276,18 @@ class _Cleaner:
         return cnt
 
     def pop_bubble(self, max_dist: int):
-        """Device-detected bubble sources (>=2 live out-arcs), host Kahn
-        BFS + backtrack per source in ascending order (asg.c:360-433).
-        Pops only delete arcs, so no new sources can appear mid-pass;
-        every source is re-validated against the live graph at commit."""
+        """Device-detected bubble sources (>=2 live out-arcs); the Kahn
+        BFS for ALL sources runs in one device dispatch and the host
+        commits verdicts in ascending-source order with staleness-driven
+        re-dispatch (graph/devbub.py; reference asg.c:360-433).  Pops only
+        delete arcs, so no new sources can appear mid-pass."""
+        from .devbub import pop_bubbles_dev
+
         g = self.g
         if not g.is_symm:
             self.apply_symm()
             g = self.g
-        n_vtx = g.n_vtx
-        binfo = (np.zeros(n_vtx, np.int64), np.zeros(n_vtx, np.int64),
-                 np.zeros(n_vtx, np.int64), np.zeros(n_vtx, np.int64),
-                 np.zeros(n_vtx, np.int8))
-        n_pop = 0
-        for v in np.flatnonzero(self.det["bubble"]):
-            v = int(v)
-            nv = g.idx_cnt[v]
-            if nv < 2 or g.sdel[v >> 1]:
-                continue
-            s = g.idx_start[v]
-            if int(np.sum(~g.adel[s:s + nv])) > 1:
-                n_pop += _bub_pop1(g, v, max_dist, binfo)
+        n_pop = pop_bubbles_dev(g, self.det["bubble"], max_dist)
         if n_pop:
             self.g = cleanup(g)
             self.redetect()

@@ -42,7 +42,7 @@ def get_lib():
                 if not srcs:
                     return None
                 cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                       "-std=c++17", "-o", _SO] + srcs + ["-lz"]
+                       "-std=c++17", "-pthread", "-o", _SO] + srcs + ["-lz"]
                 r = subprocess.run(cmd, capture_output=True, text=True)
                 if r.returncode != 0:
                     import sys

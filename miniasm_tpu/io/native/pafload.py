@@ -261,6 +261,150 @@ def load_hits_v2(fn, min_span, min_match, excl=None, bi_dir=True,
     return colmat_dev, d, h
 
 
+class _MaMtInfo(ctypes.Structure):
+    _fields_ = [
+        ("n_orig", ctypes.c_int64),
+        ("n_mirror", ctypes.c_int64),
+        ("n_seq", ctypes.c_int64),
+        ("n_lines", ctypes.c_int64),
+        ("max_len", ctypes.c_int64),
+        ("names_bytes", ctypes.c_int64),
+    ]
+
+
+_MT_CHUNK = 1 << 19  # records per uploaded piece (a 64K multiple)
+
+
+def _concat_jit(*pieces):
+    import jax
+
+    if not hasattr(_concat_jit, "_fn"):
+        import jax.numpy as jnp
+
+        _concat_jit._fn = jax.jit(lambda *ps: jnp.concatenate(ps, axis=1))
+    return _concat_jit._fn(*pieces)
+
+
+class HitsMt:
+    """Handle over the pipelined multi-threaded loader (pafmt.cpp).
+    API-compatible with HitsV2 for the v2 select path."""
+
+    def __init__(self, lib, res, cap):
+        self._lib = lib
+        self._res = res
+        self.cap = cap
+        self._ranked = False
+        info = _MaMtInfo()
+        lib.ma_mt_info(res, ctypes.byref(info))
+        self.n_orig = int(info.n_orig)
+        self.n_mirror = int(info.n_mirror)
+        self.n_lines = int(info.n_lines)
+        self.max_len = int(info.max_len)
+        self._n_seq = int(info.n_seq)
+        self._names_bytes = int(info.names_bytes)
+
+    def build_rank(self):
+        """CPU-bound exact-permutation build; call while the device kernel
+        runs."""
+        if not self._ranked:
+            self._lib.ma_mt_rank(self._res)
+            self._ranked = True
+
+    def arc_ranks(self, idx):
+        self.build_rank()
+        idx = np.ascontiguousarray(idx, dtype=np.int64)
+        out = np.empty(idx.shape[0], dtype=np.int64)
+        self._lib.ma_mt_rank_fetch(
+            self._res, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            idx.shape[0], self.cap,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        return out
+
+    def seqdict(self):
+        from ..seqdict import SeqDict
+
+        blob = ctypes.create_string_buffer(max(self._names_bytes, 1))
+        self._lib.ma_mt_names(self._res, blob)
+        names = blob.raw[:self._names_bytes].decode("latin-1").split("\0")[:self._n_seq]
+        lens = np.empty(max(self._n_seq, 1), dtype=np.uint32)
+        self._lib.ma_mt_seq_len(
+            self._res, lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+        return SeqDict.from_arrays(names, lens[:self._n_seq].tolist())
+
+    def free(self):
+        if self._res:
+            self._lib.ma_mt_free(self._res)
+            self._res = None
+
+    def __del__(self):
+        try:
+            self.free()
+        except Exception:
+            pass
+
+
+def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
+                 min_iden=0.05, n_workers=2):
+    """Pipelined loader: reader + parser threads tokenize and chunk-intern
+    while the consumer globalizes ids in order and device_puts fixed-size
+    (7, 2^19) pieces, so parsing, H2D transfer, and (via the later
+    build_rank overlap) the exact-permutation sort all overlap.  The
+    device colmat is the concatenation of the pieces (one cheap jitted
+    concat per piece-count, so kernel shapes recompile per piece-count
+    granularity, not per 64K records).  Padding rows are zero-filled
+    (flags=0), which the dual-sided kernel treats as inert.
+
+    Returns (colmat_dev, SeqDict, HitsMt)."""
+    import jax
+
+    from .build import get_lib
+
+    lib = get_lib()
+    lib.ma_mt_begin.restype = ctypes.c_void_p
+    lib.ma_mt_begin.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                ctypes.c_int64, ctypes.c_char_p,
+                                ctypes.c_int64, ctypes.c_int,
+                                ctypes.c_double, ctypes.c_int64,
+                                ctypes.c_int]
+    lib.ma_mt_next.restype = ctypes.c_int64
+    lib.ma_mt_next.argtypes = [ctypes.c_void_p,
+                               ctypes.POINTER(ctypes.c_int32)]
+    lib.ma_mt_info.argtypes = [ctypes.c_void_p, ctypes.POINTER(_MaMtInfo)]
+    lib.ma_mt_names.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.ma_mt_seq_len.argtypes = [ctypes.c_void_p,
+                                  ctypes.POINTER(ctypes.c_uint32)]
+    lib.ma_mt_rank.argtypes = [ctypes.c_void_p]
+    lib.ma_mt_rank_fetch.argtypes = [ctypes.c_void_p,
+                                     ctypes.POINTER(ctypes.c_int64),
+                                     ctypes.c_int64, ctypes.c_int64,
+                                     ctypes.POINTER(ctypes.c_int64)]
+    lib.ma_mt_free.argtypes = [ctypes.c_void_p]
+
+    if excl is not None and excl.n_seq:
+        blob = b"\0".join(n.encode() for n in excl.names) + b"\0"
+    else:
+        blob = b""
+    res = lib.ma_mt_begin(fn.encode(), min_span, min_match, blob, len(blob),
+                          1 if bi_dir else 0, float(min_iden), _MT_CHUNK,
+                          n_workers)
+    if not res:
+        raise FileNotFoundError(2, "could not open PAF file", fn)
+    pieces = []
+    while True:
+        buf = np.empty((7, _MT_CHUNK), dtype=np.int32)
+        n = lib.ma_mt_next(
+            res, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if n == 0 and pieces:
+            break
+        pieces.append(jax.device_put(buf))
+        if n < _MT_CHUNK:
+            break
+    colmat_dev = pieces[0] if len(pieces) == 1 else _concat_jit(*pieces)
+    h = HitsMt(lib, res, cap=len(pieces) * _MT_CHUNK)
+    d = h.seqdict()
+    return colmat_dev, d, h
+
+
 class _MaHitsStage(ctypes.Structure):
     _fields_ = [
         ("n_hits", ctypes.c_int64),

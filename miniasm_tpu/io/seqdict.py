@@ -76,8 +76,7 @@ class SeqDict:
     @staticmethod
     def from_arrays(names, lens) -> "SeqDict":
         d = SeqDict()
-        for n, l in zip(names, lens):
-            d.index[n] = len(d.names)
-            d.names.append(n)
-            d.lens.append(int(l))
+        d.names = list(names)
+        d.lens = [int(l) for l in lens]
+        d.index = dict(zip(d.names, range(len(d.names))))
         return d

@@ -183,7 +183,7 @@ def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir):
     import os
     import time
 
-    from .io.native.pafload import load_hits_v2
+    from .io.native.pafload import load_hits_mt, load_hits_v2
     from .select.fused2 import select_build2
     from .graph.asg import graph_from_arcs
 
@@ -194,7 +194,9 @@ def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir):
         if timing:
             sys.stderr.write("[T::%s] +%.3f\n" % (name, time.time() - t0))
 
-    colmat_dev, d, h3 = load_hits_v2(
+    loader = (load_hits_v2 if os.environ.get("MINIASM_TPU_LOADER") == "v2"
+              else load_hits_mt)
+    colmat_dev, d, h3 = loader(
         paf_fn, opt.min_span, opt.min_match, excl=excl, bi_dir=bi_dir,
         min_iden=float(opt.min_iden))
     tick("load+upload")

@@ -146,3 +146,69 @@ def test_hybrid_trans_zero_with_asymm():
     g_h = clean_graph(copy.deepcopy(g), opt, 100)
     g_p = py_clean(copy.deepcopy(g), opt, 100)
     assert _state(g_h) == _state(g_p)
+
+
+def braid_graph(rng, n_back=30, n_alt=12, read_len=10_000):
+    """Backbone chain with parallel bypass vertices: a dense-bubble shape
+    (many >=2-out sources, overlapping bubbles, shared sinks)."""
+    lens = [read_len] * n_back
+    us, ls, vs, ols = [], [], [], []
+
+    def arc(a, b, l, ol):
+        us.extend([a, b ^ 1])
+        ls.extend([l, l])
+        vs.extend([b, a ^ 1])
+        ols.extend([ol, ol])
+
+    for i in range(n_back - 1):
+        arc(i << 1, (i + 1) << 1, 4000, 6000)
+    for _ in range(n_alt):
+        i = int(rng.integers(0, n_back - 2))
+        span = int(rng.integers(1, 3))
+        j = min(i + 1 + span, n_back - 1)
+        alt = len(lens)
+        lens.append(read_len)
+        arc(i << 1, alt << 1, int(rng.integers(2000, 6000)), 5000)
+        arc(alt << 1, j << 1, int(rng.integers(2000, 6000)), 5000)
+    la = np.asarray(lens, np.uint32)
+    n_seq = len(lens)
+    g = Graph(u=np.asarray(us, np.int32), l=np.asarray(ls, np.int32),
+              v=np.asarray(vs, np.int32), ol=np.asarray(ols, np.int32),
+              adel=np.zeros(len(us), bool), slen=la,
+              sdel=np.zeros(n_seq, bool),
+              idx_start=np.zeros(2 * n_seq, np.int64),
+              idx_cnt=np.zeros(2 * n_seq, np.int32))
+    return cleanup(g)
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_device_bubble_pop_dense(seed):
+    """Dense-bubble shapes: the one-dispatch device Kahn BFS + ordered
+    commit (graph/devbub.py) must equal the sequential Python spec's
+    pop_bubble exactly, including overlapping-bubble re-dispatches."""
+    from miniasm_tpu.graph.hybrid import _Cleaner
+
+    rng = np.random.default_rng(7000 + seed)
+    g = braid_graph(rng, n_back=20 + 2 * seed, n_alt=8 + seed)
+    opt = Opt()
+    cl = _Cleaner(copy.deepcopy(g), opt, do_trans=False)
+    cl.pop_bubble(opt.bub_dist)
+    g_p, _ = pop_bubble(copy.deepcopy(g), opt.bub_dist)
+    assert _state(cl.g) == _state(g_p), "seed=%d" % seed
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_device_bubble_pop_random(seed):
+    """Random symmetric graphs through pop_bubble in isolation."""
+    from miniasm_tpu.graph.hybrid import _Cleaner
+
+    rng = np.random.default_rng(8000 + seed)
+    g = random_graph(rng, n_seq=25 + 4 * seed, n_pairs=60 + 12 * seed,
+                     asym_frac=0.0)
+    from miniasm_tpu.graph.clean import symm
+    g = symm(g)
+    opt = Opt()
+    cl = _Cleaner(copy.deepcopy(g), opt, do_trans=False)
+    cl.pop_bubble(opt.bub_dist)
+    g_p, _ = pop_bubble(copy.deepcopy(g), opt.bub_dist)
+    assert _state(cl.g) == _state(g_p), "seed=%d" % seed
