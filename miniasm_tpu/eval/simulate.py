@@ -128,8 +128,38 @@ def paf_arrays(sim):
     qs, qe = proj(qi, s, e)
     ts, te = proj(ti, s, e)
     rev = (ori[qi] != ori[ti])
-    return dict(qi=qi, ql=lens[qi], qs=qs, qe=qe, rev=rev,
-                ti=ti, tl=lens[ti], ts=ts, te=te, ml=e - s)
+    out = dict(qi=qi, ql=lens[qi], qs=qs, qe=qe, rev=rev,
+               ti=ti, tl=lens[ti], ts=ts, te=te, ml=e - s)
+
+    if sim.get("circular"):
+        # wrap-around pairs close the circle: reads crossing the origin
+        # (ge > L) against SHADOWS of low-start reads shifted by +L; the
+        # shadow frame keeps the projection arithmetic linear.  Appended
+        # after the linear pairs in (crosser, shadow) lexicographic order.
+        L = sim["genome_len"]
+        cross = np.flatnonzero(ge > L)
+        maxov = int((ge - L).max()) if cross.size else 0
+        low = np.flatnonzero(gs < maxov)
+        if cross.size and low.size:
+            ii, jj = np.meshgrid(cross, low, indexing="ij")
+            ii, jj = ii.ravel(), jj.ravel()
+            sgs, sge = gs[jj] + L, ge[jj] + L  # shadow coords
+            s2 = np.maximum(gs[ii], sgs)
+            e2 = np.minimum(ge[ii], sge)
+            keep2 = ((e2 - s2) >= min_emit) & (ii != jj)
+            ii, jj, s2, e2 = ii[keep2], jj[keep2], s2[keep2], e2[keep2]
+            sgs, sge = gs[jj] + L, ge[jj] + L
+            q2s, q2e = proj(ii, s2, e2)
+            fwd = ori[jj] == 0
+            t2s = np.where(fwd, s2 - sgs, sge - e2)
+            t2e = np.where(fwd, e2 - sgs, sge - s2)
+            for k, v in zip(
+                    ("qi", "ql", "qs", "qe", "rev", "ti", "tl", "ts", "te",
+                     "ml"),
+                    (ii, lens[ii], q2s, q2e, ori[ii] != ori[jj], jj,
+                     lens[jj], t2s, t2e, e2 - s2)):
+                out[k] = np.concatenate([out[k], v])
+    return out
 
 
 def write_paf(sim, path) -> int:
@@ -162,7 +192,11 @@ def write_fasta(sim, path) -> None:
     assert g is not None, "genome too large to materialize"
     with open(path, "w") as f:
         for name, s, e, o in zip(sim["names"], sim["gs"], sim["ge"], sim["ori"]):
-            seq = g[int(s):int(e)]
+            s, e = int(s), int(e)
+            if e > len(g):  # circular wrap
+                seq = g[s:] + g[:e - len(g)]
+            else:
+                seq = g[s:e]
             if o:
                 seq = revcomp(seq)
             f.write(">%s\n%s\n" % (name, seq))

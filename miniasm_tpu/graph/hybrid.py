@@ -43,9 +43,61 @@ import numpy as np
 
 from ..utils.timers import log
 from .asg import Graph, cleanup
-from .seqclean import (ET_MERGEABLE, ET_MULTI_NEI, ET_MULTI_OUT, ET_TIP,
-                       extend, is_utg_end)
 from . import devclean
+
+# unitig-end classification codes (semantics of asg_is_utg_end,
+# asg.c:199-221; numerically identical to graph/seqclean.py's spec)
+ET_MERGEABLE = 0
+ET_TIP = 1
+ET_MULTI_OUT = 2
+ET_MULTI_NEI = 3
+
+
+def _end_class(g: Graph, v: int):
+    """Classify vertex v's backward side by its live in-arcs.  Returns
+    (code, next_l, next_v): the unique predecessor edge when one exists.
+    Reads row v^1 (in-arcs of v are out-arcs of v^1, complemented)."""
+    s = int(g.idx_start[v ^ 1])
+    c = int(g.idx_cnt[v ^ 1])
+    live = np.flatnonzero(~g.adel[s:s + c])
+    if live.size == 0:
+        return ET_TIP, 0, -1
+    if live.size > 1:
+        return ET_MULTI_OUT, 0, -1
+    i0 = s + int(live[-1])
+    nl, nv = int(g.l[i0]), int(g.v[i0])
+    w = nv ^ 1
+    sw = int(g.idx_start[w])
+    cw = int(g.idx_cnt[w])
+    if int(np.count_nonzero(~g.adel[sw:sw + cw])) != 1:
+        return ET_MULTI_NEI, nl, nv
+    return ET_MERGEABLE, nl, nv
+
+
+def is_utg_end(g: Graph, v: int):
+    """(code, (l, next_v) | None) — the shape the ordered commits use."""
+    code, nl, nv = _end_class(g, v)
+    return code, ((nl, nv) if nv >= 0 else None)
+
+
+def extend(g: Graph, v: int, max_ext: int):
+    """Follow the mergeable chain up to max_ext classification steps
+    (semantics of asg_extend, asg.c:223-236): evaluates the end class at
+    v^1 (i.e. v's forward continuation), appending the unique next vertex
+    while MERGEABLE.  Returns (terminating code, chain) with chain[0] =
+    (0, v) and chain[i>0] = (l, vertex)."""
+    chain = [(0, v)]
+    ret = ET_MERGEABLE
+    while True:
+        ret, nl, nv = _end_class(g, v ^ 1)
+        if ret != ET_MERGEABLE:
+            break
+        chain.append((nl, nv))
+        v = nv
+        max_ext -= 1
+        if max_ext <= 0:
+            break
+    return ret, chain
 
 
 class _Cleaner:

@@ -76,63 +76,6 @@ def load_paf_native(fn, min_span, min_match, excl=None, d=None):
     return load
 
 
-class _MaHitsLoad(ctypes.Structure):
-    _fields_ = [
-        ("n_hits", ctypes.c_int64),
-        ("n_seq", ctypes.c_int64),
-        ("n_lines", ctypes.c_int64),
-        ("cap", ctypes.c_int64),
-        ("names_bytes", ctypes.c_int64),
-        ("max_deg", ctypes.c_int64),
-        ("colmat", ctypes.POINTER(ctypes.c_int32)),
-        ("seq_len", ctypes.POINTER(ctypes.c_uint32)),
-        ("names", ctypes.POINTER(ctypes.c_char)),
-    ]
-
-
-def load_hits_native(fn, min_span, min_match, excl=None, bi_dir=True,
-                     min_iden=0.05):
-    """One-shot: parse + filter + intern + mirror + exact radix sort +
-    colmat assembly, all in C++ (reference hit.c:70-107).  Returns
-    (colmat (7, cap) int32, n_hits, SeqDict, n_lines, max_deg)."""
-    from .build import get_lib
-
-    lib = get_lib()
-    lib.ma_paf_load_hits.restype = ctypes.POINTER(_MaHitsLoad)
-    lib.ma_paf_load_hits.argtypes = [ctypes.c_char_p, ctypes.c_int64,
-                                     ctypes.c_int64, ctypes.c_char_p,
-                                     ctypes.c_int64, ctypes.c_int,
-                                     ctypes.c_double]
-    lib.ma_hits_free.argtypes = [ctypes.POINTER(_MaHitsLoad)]
-
-    if excl is not None and excl.n_seq:
-        blob = b"\0".join(n.encode() for n in excl.names) + b"\0"
-    else:
-        blob = b""
-    res = lib.ma_paf_load_hits(fn.encode(), min_span, min_match, blob,
-                               len(blob), 1 if bi_dir else 0,
-                               float(min_iden))
-    if not res:
-        raise FileNotFoundError(2, "could not open PAF file", fn)
-    r = res.contents
-    cap = int(r.cap)
-    n = int(r.n_hits)
-    ns = int(r.n_seq)
-    colmat = np.ctypeslib.as_array(r.colmat, shape=(7, cap)).copy()
-    names_blob = ctypes.string_at(r.names, int(r.names_bytes))
-    names = names_blob.decode("latin-1").split("\0")[:ns]
-    lens = np.ctypeslib.as_array(r.seq_len, shape=(ns,)).copy() if ns else np.zeros(0, np.uint32)
-    d = SeqDict()
-    for nm, ln in zip(names, lens):
-        d.index[nm] = len(d.names)
-        d.names.append(nm)
-        d.lens.append(int(ln))
-    n_lines = int(r.n_lines)
-    max_deg = int(r.max_deg)
-    lib.ma_hits_free(res)
-    return colmat, n, d, n_lines, max_deg
-
-
 class _MaHits3(ctypes.Structure):
     _fields_ = [
         ("n_orig", ctypes.c_int64),
@@ -294,6 +237,7 @@ class HitsMt:
         self._res = res
         self.cap = cap
         self._ranked = False
+        self._async = False
         info = _MaMtInfo()
         lib.ma_mt_info(res, ctypes.byref(info))
         self.n_orig = int(info.n_orig)
@@ -303,9 +247,20 @@ class HitsMt:
         self._n_seq = int(info.n_seq)
         self._names_bytes = int(info.names_bytes)
 
+    def rank_async(self):
+        """Start the exact-permutation build on a C++ side thread (the
+        second core) so it overlaps the device dispatch + fetch."""
+        if not self._ranked and not self._async:
+            self._lib.ma_mt_rank_async(self._res)
+            self._async = True
+
     def build_rank(self):
-        """CPU-bound exact-permutation build; call while the device kernel
-        runs."""
+        """CPU-bound exact-permutation build (joins the async thread if
+        one was started)."""
+        if self._async:
+            self._lib.ma_mt_rank_wait(self._res)
+            self._async = False
+            self._ranked = True
         if not self._ranked:
             self._lib.ma_mt_rank(self._res)
             self._ranked = True
@@ -374,6 +329,8 @@ def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
     lib.ma_mt_seq_len.argtypes = [ctypes.c_void_p,
                                   ctypes.POINTER(ctypes.c_uint32)]
     lib.ma_mt_rank.argtypes = [ctypes.c_void_p]
+    lib.ma_mt_rank_async.argtypes = [ctypes.c_void_p]
+    lib.ma_mt_rank_wait.argtypes = [ctypes.c_void_p]
     lib.ma_mt_rank_fetch.argtypes = [ctypes.c_void_p,
                                      ctypes.POINTER(ctypes.c_int64),
                                      ctypes.c_int64, ctypes.c_int64,
@@ -403,110 +360,3 @@ def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
     h = HitsMt(lib, res, cap=len(pieces) * _MT_CHUNK)
     d = h.seqdict()
     return colmat_dev, d, h
-
-
-class _MaHitsStage(ctypes.Structure):
-    _fields_ = [
-        ("n_hits", ctypes.c_int64),
-        ("n_orig", ctypes.c_int64),
-        ("n_seq", ctypes.c_int64),
-        ("n_lines", ctypes.c_int64),
-        ("names_bytes", ctypes.c_int64),
-        ("max_deg", ctypes.c_int64),
-        ("n_seq_cap", ctypes.c_int64),
-        ("seq_len", ctypes.POINTER(ctypes.c_uint32)),
-        ("names", ctypes.POINTER(ctypes.c_char)),
-        ("raw", ctypes.c_void_p),
-        ("srcvec", ctypes.c_void_p),
-        ("flags", ctypes.POINTER(ctypes.c_uint32)),
-        ("bi_dir", ctypes.c_int64),
-        ("packable", ctypes.c_int64),
-    ]
-
-
-_CHUNK = 1 << 21  # columns per upload block
-
-
-def load_hits_native_dev(fn, min_span, min_match, excl=None, bi_dir=True,
-                         min_iden=0.05):
-    """Staged loader: parse + exact-permutation sort in C++, then upload
-    the UNMIRRORED original columns plus the sorted mirror-permutation and
-    let the device reconstruct the mirrored ordered hit array with one
-    gather (select.fused.mirror_gather).  Moves ~25% fewer bytes over the
-    tunnel than a materialized mirror and skips host record staging.
-
-    Returns (orig_dev (7, ocap) int32, perm_dev (cap,) int32, n_hits,
-    SeqDict, n_lines, max_deg)."""
-    import jax
-    import jax.numpy as jnp
-
-    from .build import get_lib
-
-    lib = get_lib()
-    lib.ma_paf_load_hits_begin.restype = ctypes.POINTER(_MaHitsStage)
-    lib.ma_paf_load_hits_begin.argtypes = [ctypes.c_char_p, ctypes.c_int64,
-                                           ctypes.c_int64, ctypes.c_char_p,
-                                           ctypes.c_int64, ctypes.c_int,
-                                           ctypes.c_double]
-    lib.ma_hits_fill_chunk.argtypes = [ctypes.POINTER(_MaHitsStage),
-                                       ctypes.c_int64, ctypes.c_int64,
-                                       ctypes.c_int64,
-                                       ctypes.POINTER(ctypes.c_int32)]
-    lib.ma_hits_sort.argtypes = [ctypes.POINTER(_MaHitsStage)]
-    lib.ma_hits_stage_free.argtypes = [ctypes.POINTER(_MaHitsStage)]
-
-    if excl is not None and excl.n_seq:
-        blob = b"\0".join(n.encode() for n in excl.names) + b"\0"
-    else:
-        blob = b""
-    res = lib.ma_paf_load_hits_begin(fn.encode(), min_span, min_match, blob,
-                                     len(blob), 1 if bi_dir else 0,
-                                     float(min_iden))
-    if not res:
-        raise FileNotFoundError(2, "could not open PAF file", fn)
-    from ...select.fused import _bucket
-
-    r = res.contents
-    n = int(r.n_hits)
-    n_orig = int(r.n_orig)
-    ns = int(r.n_seq)
-    ocap = _bucket(max(n_orig, 1))
-    cap = _bucket(max(n, 1))
-
-    def pull(kind, total, rows, dtype=np.int32):
-        chunks = []
-        for j0 in range(0, total, _CHUNK):
-            jlen = min(_CHUNK, total - j0)
-            buf = np.empty((rows, jlen) if rows > 1 else (jlen,), dtype=dtype)
-            lib.ma_hits_fill_chunk(
-                res, kind, j0, jlen,
-                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
-            chunks.append(jax.device_put(buf))  # async; next fill overlaps
-        if len(chunks) == 1:
-            return chunks[0]
-        return jnp.concatenate(chunks, axis=-1)
-
-    # upload the originals first (they do not depend on the sort), then run
-    # the CPU-bound exact sort while those blocks stream over the tunnel on
-    # the transfer thread, then upload the permutation.  When every
-    # id/coordinate fits 24 bits (checked in C++), the originals go as
-    # 3-byte planes + 1 flags byte — 19 B/hit instead of 28 B.
-    if int(r.packable):
-        orig_dev = pull(2, ocap, 19, dtype=np.uint8)
-    else:
-        orig_dev = pull(0, ocap, 7)
-    lib.ma_hits_sort(res)
-    perm_dev = pull(1, cap, 1)
-
-    names_blob = ctypes.string_at(r.names, int(r.names_bytes))
-    names = names_blob.decode("latin-1").split("\0")[:ns]
-    lens = np.ctypeslib.as_array(r.seq_len, shape=(ns,)).copy() if ns else np.zeros(0, np.uint32)
-    d = SeqDict()
-    for nm, ln in zip(names, lens):
-        d.index[nm] = len(d.names)
-        d.names.append(nm)
-        d.lens.append(int(ln))
-    n_lines = int(r.n_lines)
-    max_deg = int(r.max_deg)
-    lib.ma_hits_stage_free(res)
-    return orig_dev, perm_dev, n, d, n_lines, max_deg

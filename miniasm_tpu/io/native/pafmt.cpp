@@ -545,6 +545,18 @@ void ma_mt_rank(MtState* st) {
     for (int64_t p = 0; p < m; ++p) st->rank[src[p]] = p;
 }
 
+// start the rank build on a detached-side thread (second core) so it
+// overlaps the device dispatch + fetch; ma_mt_rank_wait joins it.
+void ma_mt_rank_async(MtState* st) {
+    st->threads.emplace_back(ma_mt_rank, st);
+}
+
+void ma_mt_rank_wait(MtState* st) {
+    for (auto& t : st->threads)
+        if (t.joinable()) t.join();
+    st->threads.clear();
+}
+
 void ma_mt_rank_fetch(MtState* st, const int64_t* idx, int64_t n_idx,
                       int64_t cap, int64_t* out) {
     // idx: kernel arc indices (j for q-side, cap+j for mirrors)

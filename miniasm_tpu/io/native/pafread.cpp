@@ -260,292 +260,9 @@ void ma_paf_free(MaPafLoad* p) {
 
 }  // extern "C"
 
-// ---- one-shot loader: parse + filter + intern + mirror + exact radix
-// sort + SoA colmat assembly (reference hit.c:70-107 end to end).  The
-// colmat layout matches select/fused.py: rows [qid qs qe tid ts te flags]
-// with flags bit0=valid, bit1=rev, bit2=iden_ok (float32 identity test,
-// hit.c:127); cap padded to a 64K multiple with qid sentinel = n_seq_cap+1.
-
 extern "C" void ma_radix_argsort_u64(uint64_t*, int64_t*, int64_t);
 
 extern "C" {
-
-struct MaHitsLoad {
-    int64_t n_hits, n_seq, n_lines, cap, names_bytes, max_deg;
-    int32_t* colmat;  // (7, cap) row-major
-    uint32_t* seq_len;
-    char* names;
-};
-
-MaHitsLoad* ma_paf_load_hits(const char* fn, int64_t min_span,
-                             int64_t min_match, const char* excl_names,
-                             int64_t excl_bytes, int bi_dir,
-                             double min_iden) {
-    MaPafLoad* raw = ma_paf_load(fn, min_span, min_match, excl_names, excl_bytes);
-    if (!raw) return nullptr;
-    int64_t n = raw->n_rec;
-
-    // mirrored hit sequence in reference insertion order (hit.c:87-98),
-    // materialized as packed records so the post-sort permutation costs one
-    // random read per hit instead of ten
-    struct Rec {
-        int32_t qid, tid;
-        uint32_t qs, qe, ts, te;
-        uint32_t flags;
-    };
-    std::vector<Rec> recs;
-    std::vector<uint64_t> keys;
-    std::vector<int64_t> src;
-    recs.reserve(bi_dir ? 2 * n : n);
-    keys.reserve(recs.capacity());
-    src.reserve(recs.capacity());
-    float iden_f = static_cast<float>(min_iden);
-    for (int64_t i = 0; i < n; ++i) {
-        uint32_t iden_ok = !(static_cast<float>(raw->ml[i]) <
-                             static_cast<float>(raw->bl[i]) * iden_f);
-        uint32_t flags = 1u | (static_cast<uint32_t>(raw->rev[i]) << 1) |
-                         (iden_ok << 2);
-        keys.push_back(static_cast<uint64_t>(raw->qid[i]) << 32 | raw->qs[i]);
-        src.push_back(static_cast<int64_t>(recs.size()));
-        recs.push_back({raw->qid[i], raw->tid[i], raw->qs[i], raw->qe[i],
-                        raw->ts[i], raw->te[i], flags});
-        if (bi_dir && raw->qid[i] != raw->tid[i]) {
-            keys.push_back(static_cast<uint64_t>(raw->tid[i]) << 32 | raw->ts[i]);
-            src.push_back(static_cast<int64_t>(recs.size()));
-            recs.push_back({raw->tid[i], raw->qid[i], raw->ts[i], raw->te[i],
-                            raw->qs[i], raw->qe[i], flags});
-        }
-    }
-    int64_t m = static_cast<int64_t>(keys.size());
-    ma_radix_argsort_u64(keys.data(), src.data(), m);
-
-    // bucketed cap: 64K multiples (pow2 below 4K) — must match
-    // select/fused.py _bucket so jit shapes agree across loader paths
-    int64_t cap = 1;
-    if (m <= 4096) {
-        while (cap < m) cap <<= 1;
-    } else {
-        cap = (m + 65535) / 65536 * 65536;
-    }
-    int64_t n_seq_cap = 1;
-    while (n_seq_cap < raw->n_seq) n_seq_cap <<= 1;
-
-    auto* out = new MaHitsLoad();
-    out->n_hits = m;
-    out->n_seq = raw->n_seq;
-    out->n_lines = raw->n_lines;
-    out->cap = cap;
-    out->colmat = static_cast<int32_t*>(std::calloc(7 * cap, 4));
-    int32_t* C = out->colmat;
-    int64_t max_deg = 0, run = 0;
-    {
-        int32_t* R0 = C;
-        int32_t* R1 = C + cap;
-        int32_t* R2 = C + 2 * cap;
-        int32_t* R3 = C + 3 * cap;
-        int32_t* R4 = C + 4 * cap;
-        int32_t* R5 = C + 5 * cap;
-        int32_t* R6 = C + 6 * cap;
-        for (int64_t j = 0; j < m; ++j) {
-            const Rec& r = recs[src[j]];  // one random read per hit
-            R0[j] = r.qid;
-            R1[j] = static_cast<int32_t>(r.qs);
-            R2[j] = static_cast<int32_t>(r.qe);
-            R3[j] = r.tid;
-            R4[j] = static_cast<int32_t>(r.ts);
-            R5[j] = static_cast<int32_t>(r.te);
-            R6[j] = static_cast<int32_t>(r.flags);
-            run = (j > 0 && R0[j] == R0[j - 1]) ? run + 1 : 1;
-            if (run > max_deg) max_deg = run;
-        }
-    }
-    out->max_deg = max_deg;
-    for (int64_t j = m; j < cap; ++j)
-        C[0 * cap + j] = static_cast<int32_t>(n_seq_cap + 1);
-    out->seq_len = raw->seq_len;
-    raw->seq_len = nullptr;
-    out->names = raw->names;
-    out->names_bytes = raw->names_bytes;
-    raw->names = nullptr;
-    ma_paf_free(raw);
-    return out;
-}
-
-void ma_hits_free(MaHitsLoad* p) {
-    if (!p) return;
-    std::free(p->colmat);
-    std::free(p->seq_len);
-    std::free(p->names);
-    delete p;
-}
-
-// ---- staged variant: parse + exact-permutation sort up front, then the
-// caller pulls (a) the UNMIRRORED original columns and (b) the sorted
-// mirror-permutation, in blocks.  The device reconstructs the mirrored,
-// exact-radix-ordered hit array with one gather (select/fused.py
-// mirror_gather) — uploading originals + permutation moves ~25% fewer
-// bytes over the (bandwidth-starved) tunnel than the materialized mirror,
-// and skips the host-side 28-byte-record staging entirely.
-
-struct MaHitsStage {
-    int64_t n_hits, n_orig, n_seq, n_lines, names_bytes, max_deg, n_seq_cap;
-    uint32_t* seq_len;
-    char* names;
-    void* raw;      // MaPafLoad (kept alive for chunk fills)
-    void* srcvec;   // std::vector<int64_t>: (orig_i << 1) | is_mirror
-    uint32_t* flags;  // per original record
-    int64_t bi_dir;
-    int64_t packable;  // 1 when every id/coordinate fits 24 bits
-};
-
-MaHitsStage* ma_paf_load_hits_begin(const char* fn, int64_t min_span,
-                                    int64_t min_match,
-                                    const char* excl_names,
-                                    int64_t excl_bytes, int bi_dir,
-                                    double min_iden) {
-    MaPafLoad* raw = ma_paf_load(fn, min_span, min_match, excl_names, excl_bytes);
-    if (!raw) return nullptr;
-    int64_t n = raw->n_rec;
-
-    uint32_t* flags = static_cast<uint32_t*>(std::malloc(n * 4 + 4));
-    float iden_f = static_cast<float>(min_iden);
-    int64_t m = n;
-    if (bi_dir) {
-        m = 0;
-        for (int64_t i = 0; i < n; ++i)
-            m += raw->qid[i] != raw->tid[i] ? 2 : 1;
-    }
-    for (int64_t i = 0; i < n; ++i) {
-        uint32_t iden_ok = !(static_cast<float>(raw->ml[i]) <
-                             static_cast<float>(raw->bl[i]) * iden_f);
-        flags[i] = 1u | (static_cast<uint32_t>(raw->rev[i]) << 1) |
-                   (iden_ok << 2);
-    }
-    int64_t n_seq_cap = 1;
-    while (n_seq_cap < raw->n_seq) n_seq_cap <<= 1;
-
-    auto* st = new MaHitsStage();
-    st->n_hits = m;
-    st->n_orig = n;
-    st->n_seq = raw->n_seq;
-    st->n_lines = raw->n_lines;
-    st->max_deg = 0;  // filled by ma_hits_sort
-    st->n_seq_cap = n_seq_cap;
-    st->seq_len = raw->seq_len;
-    raw->seq_len = nullptr;
-    st->names = raw->names;
-    st->names_bytes = raw->names_bytes;
-    raw->names = nullptr;
-    st->raw = raw;
-    st->srcvec = new std::vector<int64_t>();
-    st->flags = flags;
-    st->bi_dir = bi_dir;
-    // 24-bit packability: coordinates are bounded by read length
-    uint32_t max_len = 0;
-    for (int64_t i = 0; i < raw->n_seq; ++i)
-        if (st->seq_len[i] > max_len) max_len = st->seq_len[i];
-    st->packable = (raw->n_seq < (1 << 24) && max_len < (1u << 24)) ? 1 : 0;
-    return st;
-}
-
-// phase 2 (call after pulling the original columns — the tunnel transfer
-// of those blocks then overlaps this CPU-bound sort): build the mirrored
-// key sequence and exact-radix-argsort it.
-void ma_hits_sort(MaHitsStage* st) {
-    auto* raw = static_cast<MaPafLoad*>(st->raw);
-    auto* src = static_cast<std::vector<int64_t>*>(st->srcvec);
-    int64_t n = st->n_orig;
-    std::vector<uint64_t> keys;
-    keys.reserve(st->n_hits);
-    src->reserve(st->n_hits);
-    for (int64_t i = 0; i < n; ++i) {
-        keys.push_back(static_cast<uint64_t>(raw->qid[i]) << 32 | raw->qs[i]);
-        src->push_back(i << 1);
-        if (st->bi_dir && raw->qid[i] != raw->tid[i]) {
-            keys.push_back(static_cast<uint64_t>(raw->tid[i]) << 32 | raw->ts[i]);
-            src->push_back((i << 1) | 1);
-        }
-    }
-    int64_t m = static_cast<int64_t>(keys.size());
-    ma_radix_argsort_u64(keys.data(), src->data(), m);
-    int64_t max_deg = 0, run = 0;
-    for (int64_t j = 0; j < m; ++j) {
-        run = (j > 0 && (keys[j] >> 32) == (keys[j - 1] >> 32)) ? run + 1 : 1;
-        if (run > max_deg) max_deg = run;
-    }
-    st->max_deg = max_deg;
-}
-
-// kind 0: (7, jlen) block of ORIGINAL columns [qid qs qe tid ts te flags]
-// kind 1: (jlen,) block of the sorted permutation (orig_i<<1 | mirror),
-//         -1 beyond n_hits
-// kind 2: (19, jlen) uint8 block: 3 little-endian bytes per value for the
-//         6 id/coordinate columns + 1 byte of flags (requires packable)
-void ma_hits_fill_chunk(MaHitsStage* st, int64_t kind, int64_t j0,
-                        int64_t jlen, int32_t* out) {
-    auto* raw = static_cast<MaPafLoad*>(st->raw);
-    if (kind == 1) {
-        auto* src = static_cast<std::vector<int64_t>*>(st->srcvec);
-        int64_t m = st->n_hits;
-        for (int64_t j = j0; j < j0 + jlen; ++j)
-            out[j - j0] = j < m ? static_cast<int32_t>((*src)[j]) : -1;
-        return;
-    }
-    if (kind == 2) {
-        uint8_t* o = reinterpret_cast<uint8_t*>(out);
-        int64_t n2 = st->n_orig;
-        int64_t hi2 = j0 + jlen < n2 ? j0 + jlen : n2;
-        int64_t cnt2 = hi2 > j0 ? hi2 - j0 : 0;
-        const void* cols[6] = {raw->qid, raw->qs, raw->qe,
-                               raw->tid, raw->ts, raw->te};
-        for (int c = 0; c < 6; ++c) {
-            const uint32_t* s = static_cast<const uint32_t*>(cols[c]);
-            uint8_t* b0 = o + (3 * c + 0) * jlen;
-            uint8_t* b1 = o + (3 * c + 1) * jlen;
-            uint8_t* b2 = o + (3 * c + 2) * jlen;
-            for (int64_t k = 0; k < cnt2; ++k) {
-                uint32_t v = s[j0 + k];
-                b0[k] = static_cast<uint8_t>(v);
-                b1[k] = static_cast<uint8_t>(v >> 8);
-                b2[k] = static_cast<uint8_t>(v >> 16);
-            }
-            if (cnt2 < jlen) {
-                std::memset(b0 + cnt2, 0, jlen - cnt2);
-                std::memset(b1 + cnt2, 0, jlen - cnt2);
-                std::memset(b2 + cnt2, 0, jlen - cnt2);
-            }
-        }
-        uint8_t* bf = o + 18 * jlen;
-        for (int64_t k = 0; k < cnt2; ++k)
-            bf[k] = static_cast<uint8_t>(st->flags[j0 + k]);
-        if (cnt2 < jlen) std::memset(bf + cnt2, 0, jlen - cnt2);
-        return;
-    }
-    int64_t n = st->n_orig;
-    int64_t hi = j0 + jlen < n ? j0 + jlen : n;
-    int64_t cnt = hi > j0 ? hi - j0 : 0;
-    auto cp = [&](int32_t* dst, const void* s4) {
-        if (cnt) std::memcpy(dst, static_cast<const char*>(s4) + 4 * j0, 4 * cnt);
-        if (cnt < jlen) std::memset(dst + cnt, 0, 4 * (jlen - cnt));
-    };
-    cp(out + 0 * jlen, raw->qid);
-    cp(out + 1 * jlen, raw->qs);
-    cp(out + 2 * jlen, raw->qe);
-    cp(out + 3 * jlen, raw->tid);
-    cp(out + 4 * jlen, raw->ts);
-    cp(out + 5 * jlen, raw->te);
-    cp(out + 6 * jlen, st->flags);
-}
-
-void ma_hits_stage_free(MaHitsStage* st) {
-    if (!st) return;
-    ma_paf_free(static_cast<MaPafLoad*>(st->raw));
-    delete static_cast<std::vector<int64_t>*>(st->srcvec);
-    std::free(st->flags);
-    std::free(st->seq_len);
-    std::free(st->names);
-    delete st;
-}
 
 // ---- v2 loader: ORIGINALS ONLY, in parse order.  The device select kernel
 // (select/fused2.py) processes each original hit together with its implied

@@ -338,7 +338,11 @@ def run_sharded(paf_fn, opt: Opt, mesh, *, outfmt: str = "ug",
     rank = _mirror_ranks(cols, d)
     max_len = int(np.max(d.lens_array())) if n_seq else 0
     pack_se = bool(max_len < 65535)
-    arc_cap = _next_pow2(per + n_sh * cap)  # >= rows per shard: never drops
+    # capacity proof (no overflow retry needed): every local row — `per`
+    # resident originals plus at most n_sh*cap received mirrors — yields at
+    # most ONE arc (hit2arc returns one arc or a non-arc code per row,
+    # miniasm.h:86-104), so arc_cap >= per + n_sh*cap can never drop arcs
+    arc_cap = _next_pow2(per + n_sh * cap)
 
     gmat = jax.device_put(hostmat, NamedSharding(mesh, P(None, "r")))
     step = _make_select_step(mesh, n_seq, n_seq_cap, opt, per=per,

@@ -55,77 +55,26 @@ def run(paf_fn: str, opt: Opt, *, outfmt: str = "ug", fn_reads: str | None = Non
                                  opt.max_hang, opt.int_frac)
 
     sys.stderr.write("[M::main] ===> Step 1: reading read mappings <===\n")
-    import os as _os
-
     fast_ug = (not no_first and not no_second and stage >= 5
                and outfmt in ("ug", "sg"))
-    use_v2 = _os.environ.get("MINIASM_TPU_SELECT", "v2") == "v2"
-    if fast_ug and use_v2:
+    if fast_ug:
+        # production path: one fused device kernel over the unmirrored
+        # originals (select/fused2.py) fed by the pipelined native loader
         try:
             from .io.native import available
-            from .io.native.pafload import load_hits_v2
         except ImportError:
             available = lambda: False  # noqa: E731
         if available():
             return _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out,
                                 excl, bi_dir)
 
-    colmat = None
-    max_deg = None
-    if fast_ug:
-        try:
-            from .io.native import available
-            from .io.native.pafload import load_hits_native_dev
-
-            if available():
-                colmat, perm_dev, n_hits, d, n_lines, max_deg = \
-                    load_hits_native_dev(
-                        paf_fn, opt.min_span, opt.min_match, excl=excl,
-                        bi_dir=bi_dir, min_iden=float(opt.min_iden))
-                log("hit_read", "read %d hits; stored %d hits and %d sequences (%d bp)",
-                    n_lines, n_hits, d.n_seq,
-                    int(np.sum(d.lens_array(), dtype=np.uint64)))
-        except ImportError:
-            pass
-    if colmat is None:
-        load = load_paf(paf_fn, opt.min_span, opt.min_match, excl=excl)
-        d = load.d
-        hits = build_hits(load, bi_dir=bi_dir)
+    # staged per-pass path: -1/-2/-S gating, bed/paf outputs, and the
+    # no-native fallback
+    load = load_paf(paf_fn, opt.min_span, opt.min_match, excl=excl)
+    d = load.d
+    hits = build_hits(load, bi_dir=bi_dir)
 
     sub_s = sub_e = sub_del = None
-    if fast_ug:
-        # fully device-resident: selection + arc classification in one
-        # kernel; only arc columns and per-read masks come back
-        sys.stderr.write("[M::main] ===> Steps 2-3: fused read selection <===\n")
-        from .select.fused import select_build, select_build_staged
-        from .graph.asg import graph_from_arcs
-
-        if colmat is not None:
-            arcs, used, pal, sub_s, sub_e, sub_del, cont, counts = \
-                select_build_staged(colmat, perm_dev, d, opt)
-        else:
-            arcs, used, pal, sub_s, sub_e, sub_del, cont, counts = \
-                select_build(hits, d, opt)
-        log("select_fused", "%d | %d | %d hits after cut/filter/cut",
-            *counts[:3])
-        g, sub_s, sub_e, sub_del = graph_from_arcs(
-            d, sub_s, sub_e, sub_del, cont, used, pal, arcs)
-        return _emit(paf_fn, opt, outfmt, fn_reads, stage, out, d, None,
-                     sub_s, sub_e, sub_del, prebuilt=g)
-
-    if not no_first and not no_second and stage >= 5 and outfmt in ("bed", "paf"):
-        # fused selection; bed/paf need the surviving hit columns on host
-        sys.stderr.write("[M::main] ===> Steps 2-3: fused read selection <===\n")
-        from .select.fused import select_fused
-        from .select.contained import apply_contained
-
-        hits, sub_s, sub_e, sub_del, cont, counts = select_fused(hits, d, opt)
-        log("select_fused", "%d | %d | %d hits after cut/filter/cut", *counts[:3])
-        hits, sub_s, sub_e, sub_del = apply_contained(
-            d, sub_s, sub_e, sub_del, cont, hits)
-        return _emit(paf_fn, opt, outfmt, fn_reads, stage, out, d, hits,
-                     sub_s, sub_e, sub_del)
-
     if not no_first:
         sys.stderr.write("[M::main] ===> Step 2: 1-pass (crude) read selection <===\n")
         if stage >= 2:
@@ -205,9 +154,16 @@ def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir):
         int(np.sum(d.lens_array(), dtype=np.uint64)))
 
     sys.stderr.write("[M::main] ===> Step 2: 1-pass (crude) read selection <===\n")
+    if hasattr(h3, "rank_async"):
+        # MT loader: the exact-permutation sort runs on a C++ side thread
+        # concurrently with the device kernel + fetch
+        h3.rank_async()
+        on_disp = None
+    else:
+        on_disp = h3.build_rank
     arcs, md, counts = select_build2(
         colmat_dev, d, opt, bi_dir=bi_dir, max_len=h3.max_len,
-        on_dispatch=h3.build_rank)
+        on_dispatch=on_disp)
     tick("select+fetch")
     n_rem1, n_cut1, n_flt, n_rem2, n_cut2, m_cont = counts[:6]
     log("hit_sub", "%d query sequences remain after sub", n_rem1)
@@ -270,11 +226,7 @@ def _emit(paf_fn, opt, outfmt, fn_reads, stage, out, d, hits,
         g = clean_graph(g, opt, stage, mesh=mesh)
         if outfmt == "ug":
             sys.stderr.write("[M::main] ===> Step 5: generating unitigs <===\n")
-            if fnat_ok:
-                # native unitig chain walk only (stage<7 skips all cleaning)
-                _, ug = fnat.finalize_native(g, opt, 0, do_ug=True)
-            else:
-                ug = ug_gen(g)
+            ug = ug_gen(g)
             if fn_reads:
                 ug_seq(ug, d, sub_s, sub_e, fn_reads)
             ug_print(ug, d, sub_s, sub_e, out)

@@ -67,18 +67,67 @@ def test_native_excl_and_edge_lines(tmp_path):
 
 
 @pytest.mark.skipif(not available(), reason="native lib unavailable")
-def test_staged_loader_matches_oneshot(sim_small):
-    """load_hits_native_dev (originals + permutation, device mirror_gather)
-    must reconstruct exactly the colmat load_hits_native materializes on the
-    host — including the packed 19-byte uint8 kind-2 upload format."""
-    from miniasm_tpu.io.native.pafload import load_hits_native, load_hits_native_dev
-    from miniasm_tpu.select.fused import mirror_gather, _next_pow2
+def test_mt_loader_matches_v2(sim_small, tmp_path):
+    """The pipelined multi-threaded loader (pafmt.cpp) must produce
+    byte-identical columns, dict order, counters, and exact-permutation
+    ranks as the single-threaded v2 loader — including on gzipped input
+    (the chunk pipeline splits the stream at arbitrary 8 MB boundaries,
+    so this also exercises cross-chunk interning)."""
+    from miniasm_tpu.io.native.pafload import load_hits_mt, load_hits_v2
 
-    colmat, n, d, n_lines, max_deg = load_hits_native(sim_small["paf"], 2000, 100)
-    orig, perm, n2, d2, nl2, md2 = load_hits_native_dev(sim_small["paf"], 2000, 100)
-    assert (n, n_lines, max_deg) == (n2, nl2, md2)
-    assert d.names == d2.names and d.lens == d2.lens
-    dev = mirror_gather(orig, perm, n_seq_cap=_next_pow2(max(d.n_seq, 1)),
-                        cap=perm.shape[0])
-    got = np.asarray(dev)
-    assert np.array_equal(got[:, :n], colmat[:, :n])
+    for paf in (sim_small["paf"],):
+        c1, d1, h1 = load_hits_v2(paf, 2000, 100)
+        c2, d2, h2 = load_hits_mt(paf, 2000, 100)
+        n = h1.n_orig
+        assert (h2.n_orig, h2.n_mirror, h2.n_lines, h2.max_len) == \
+            (h1.n_orig, h1.n_mirror, h1.n_lines, h1.max_len)
+        a1, a2 = np.asarray(c1), np.asarray(c2)
+        assert np.array_equal(a1[:, :n], a2[:, :n])
+        assert np.all(a2[6, n:] == 0)  # zero-pad tail is inert
+        assert d1.names == d2.names and d1.lens == d2.lens
+        idx1 = np.concatenate([np.arange(n), h1.cap + np.arange(n)])
+        idx2 = np.concatenate([np.arange(n), h2.cap + np.arange(n)])
+        assert np.array_equal(h1.arc_ranks(idx1), h2.arc_ranks(idx2))
+        h1.free()
+        h2.free()
+
+    gz = str(tmp_path / "reads.paf.gz")
+    with open(sim_small["paf"], "rb") as fi, gzip.open(gz, "wb") as fo:
+        shutil.copyfileobj(fi, fo)
+    c1, d1, h1 = load_hits_v2(sim_small["paf"], 2000, 100)
+    c2, d2, h2 = load_hits_mt(gz, 2000, 100)
+    assert h2.n_orig == h1.n_orig and d1.names == d2.names
+    assert np.array_equal(np.asarray(c1)[:, :h1.n_orig],
+                          np.asarray(c2)[:, :h2.n_orig])
+    h1.free()
+    h2.free()
+
+
+@pytest.mark.skipif(not available(), reason="native lib unavailable")
+def test_mt_loader_bl_carry_and_excl(tmp_path):
+    """The 10-field bl-carry quirk and the -R exclusion set through the
+    MT loader (paf.c:34-56 / hit.c:86 semantics)."""
+    from miniasm_tpu.io.native.pafload import load_hits_mt
+
+    p = tmp_path / "t.paf"
+    lines = [
+        "a\t9000\t0\t5000\t+\tb\t9000\t4000\t9000\t5000\t5000\tcm:i:5",
+        "bad\tline",
+        "c\t9000\t0\t4000\t-\td\t9000\t0\t4000\t4000",  # 10 fields
+        "e\t9000\t0\t100\t+\tf\t9000\t0\t100\t100\t100",
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    c, d, h = load_hits_mt(str(p), 2000, 100)
+    a = np.asarray(c)
+    assert h.n_orig == 2
+    assert d.names == ["a", "b", "c", "d"]
+    # row 1 is the bl-carried record; its identity flag used bl=5000:
+    # ml=4000 >= 5000*0.05 -> iden_ok set
+    assert a[6, 1] & 4
+    h.free()
+
+    excl = SeqDict()
+    excl.put("a", 1)
+    c2, d2, h2 = load_hits_mt(str(p), 2000, 100, excl=excl)
+    assert h2.n_orig == 1 and d2.names == ["c", "d"]
+    h2.free()

@@ -93,3 +93,64 @@ def test_noisy_counters_nonzero(ref_miniasm, sim_noisy):
     assert internal >= 1
     assert biloops >= 1
     assert shorts >= 1
+
+
+@pytest.fixture(scope="session")
+def sim_circular(tmp_path_factory):
+    """Circular 200kb genome at 25x: the reference assembles it into a
+    single CIRCULAR unitig (utg000001c, start=end=UINT32_MAX, two
+    self-circularising L-lines, asm.c:85-88) — a path no linear fixture
+    reaches."""
+    from miniasm_tpu.eval.simulate import simulate, write_paf, write_fasta
+
+    d = tmp_path_factory.mktemp("sim_circ")
+    sim = simulate(genome_len=200_000, coverage=25.0, seed=11, circular=True)
+    paf = str(d / "circ.paf")
+    fa = str(d / "circ.fa")
+    write_paf(sim, paf)
+    write_fasta(sim, fa)
+    return {"paf": paf, "fasta": fa}
+
+
+def test_circular_unitig_parity(ref_miniasm, sim_circular):
+    ref_out = run_ref(ref_miniasm, [sim_circular["paf"]])
+    our_out = run_ours([sim_circular["paf"]])
+    assert our_out == ref_out
+    names = [l.split("\t")[1] for l in ref_out.splitlines()
+             if l.startswith("S")]
+    assert any(n.endswith("c") for n in names), "fixture lost circularity"
+    assert any(l.startswith("L") and l.split("\t")[1] == l.split("\t")[3]
+               for l in ref_out.splitlines()), "no self L-line"
+
+
+def test_circular_sequences_parity(ref_miniasm, sim_circular):
+    """-f through a circular unitig: the splice path with reads wrapping
+    the origin."""
+    ref_out = run_ref(ref_miniasm,
+                      ["-f", sim_circular["fasta"], sim_circular["paf"]])
+    our_out = run_ours(["-f", sim_circular["fasta"], sim_circular["paf"]])
+    assert our_out == ref_out
+
+
+@pytest.mark.parametrize("fmt", ["paf", "sg", "ug"])
+def test_no_bidir_parity(ref_miniasm, sim_small, fmt):
+    """-b (bi_dir off, main.c:61-62): hits are NOT mirrored, which changes
+    the event multiset of every sweep and the arc set."""
+    ref_out = run_ref(ref_miniasm, ["-b", "-p", fmt, sim_small["paf"]])
+    our_out = run_ours(["-b", "-p", fmt, sim_small["paf"]])
+    assert our_out == ref_out
+
+
+def test_gz_paf_through_cli(ref_miniasm, sim_noisy, tmp_path):
+    """Gzipped PAF through the FULL CLI on the noisy fixture (cleaning
+    passes firing), not just the loader unit test."""
+    import gzip
+    import shutil
+
+    gz = str(tmp_path / "reads.paf.gz")
+    with open(sim_noisy["paf"], "rb") as fi, gzip.open(gz, "wb") as fo:
+        shutil.copyfileobj(fi, fo)
+    ref_out = run_ref(ref_miniasm, [gz])
+    our_out = run_ours([gz])
+    assert our_out == ref_out
+    assert ref_out == run_ref(ref_miniasm, [sim_noisy["paf"]])
