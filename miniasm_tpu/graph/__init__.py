@@ -1,2 +1,3 @@
-from .asg import Graph, graph_from_hits, cleanup, arc_index  # noqa: F401
-from .clean import symm, del_multi, del_asymm, del_trans, del_short  # noqa: F401
+# submodules are imported explicitly (miniasm_tpu.graph.asg etc.);
+# keeping this empty lets the numpy-only modules (asg, finalize_native)
+# load without pulling jax — the sanitizer driver depends on that

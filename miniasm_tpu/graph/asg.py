@@ -23,7 +23,6 @@ import dataclasses
 
 import numpy as np
 
-from ..core.hit2arc import hit2arc, MA_HT_QCONT
 from ..utils.timers import log
 
 
@@ -159,6 +158,8 @@ def graph_from_hits(opt, lens, dels, sub_s, sub_e, sub_del, hits) -> Graph:
     hit order; query-contained reads and exact reverse self-palindromes
     (PacBio chimera artifact, asm.c:27-30) delete their read."""
     import jax.numpy as jnp
+
+    from ..core.hit2arc import hit2arc, MA_HT_QCONT
 
     n_seq = len(lens)
     if sub_s is not None:

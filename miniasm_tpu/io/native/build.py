@@ -36,6 +36,14 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
+        override = os.environ.get("MINIASM_TPU_NATIVE_SO")
+        if override:
+            # sanitizer/CI builds point at their own .so (scripts/asan.sh)
+            try:
+                _lib = ctypes.CDLL(override)
+            except Exception:
+                _lib = None
+            return _lib
         try:
             if _needs_build():
                 srcs = _sources()

@@ -299,7 +299,7 @@ class HitsMt:
 
 
 def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
-                 min_iden=0.05, n_workers=2):
+                 min_iden=0.05, n_workers=2, upload=True):
     """Pipelined loader: reader + parser threads tokenize and chunk-intern
     while the consumer globalizes ids in order and device_puts fixed-size
     (7, 2^19) pieces, so parsing, H2D transfer, and (via the later
@@ -309,8 +309,10 @@ def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
     granularity, not per 64K records).  Padding rows are zero-filled
     (flags=0), which the dual-sided kernel treats as inert.
 
-    Returns (colmat_dev, SeqDict, HitsMt)."""
-    import jax
+    Returns (colmat_dev, SeqDict, HitsMt); with upload=False the colmat is
+    a host numpy array (no jax import — sanitizer/CI runs use this)."""
+    if upload:
+        import jax
 
     from .build import get_lib
 
@@ -353,10 +355,14 @@ def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
             res, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
         if n == 0 and pieces:
             break
-        pieces.append(jax.device_put(buf))
+        pieces.append(jax.device_put(buf) if upload else buf)
         if n < _MT_CHUNK:
             break
-    colmat_dev = pieces[0] if len(pieces) == 1 else _concat_jit(*pieces)
+    if not upload:
+        colmat_dev = (pieces[0] if len(pieces) == 1
+                      else np.concatenate(pieces, axis=1))
+    else:
+        colmat_dev = pieces[0] if len(pieces) == 1 else _concat_jit(*pieces)
     h = HitsMt(lib, res, cap=len(pieces) * _MT_CHUNK)
     d = h.seqdict()
     return colmat_dev, d, h

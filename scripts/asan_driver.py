@@ -1,0 +1,162 @@
+"""Sanitizer driver: exercises every native C++ entry point WITHOUT
+importing jax (XLA's own runtime aborts under ASan interceptors, so the
+sanitized process must stay off the device path).
+
+Covers: the streaming PAF loader (plain + gz + excl + bl-carry edge
+lines), the pipelined multi-threaded loader incl. cross-chunk interning
+and rank build/fetch, the exact ksort radix argsort, the sequential
+finalize oracle (graph cleaning + unitig walk), and the FASTA/Q splicer.
+"""
+
+import gzip
+import os
+import shutil
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from miniasm_tpu.config import Opt
+from miniasm_tpu.eval.simulate import simulate, write_paf, write_fasta
+from miniasm_tpu.io.native import available
+from miniasm_tpu.io.native.pafload import (load_paf_native, load_hits_mt,
+                                           load_hits_v2)
+from miniasm_tpu.io.seqdict import SeqDict
+
+assert available(), "native library failed to load under the sanitizer"
+
+tmp = tempfile.mkdtemp(prefix="asan_")
+paf = os.path.join(tmp, "r.paf")
+fa = os.path.join(tmp, "r.fa")
+sim = simulate(genome_len=120_000, coverage=14.0, seed=9)
+write_paf(sim, paf)
+write_fasta(sim, fa)
+
+# --- streaming loader: plain, gz, exclusion set ---
+load = load_paf_native(paf, 2000, 100)
+gz = os.path.join(tmp, "r.paf.gz")
+with open(paf, "rb") as fi, gzip.open(gz, "wb") as fo:
+    shutil.copyfileobj(fi, fo)
+load_gz = load_paf_native(gz, 2000, 100)
+assert np.array_equal(load.qid, load_gz.qid)
+excl = SeqDict()
+excl.put(load.d.names[0], 1)
+load_paf_native(paf, 2000, 100, excl=excl)
+
+# --- bl-carry / short-line edge cases ---
+edge = os.path.join(tmp, "edge.paf")
+with open(edge, "w") as f:
+    f.write("a\t9000\t0\t5000\t+\tb\t9000\t4000\t9000\t5000\t5000\tx\n"
+            "bad\tline\n"
+            "c\t9000\t0\t4000\t-\td\t9000\t0\t4000\t4000\n")
+load_paf_native(edge, 2000, 100)
+
+# --- v2 + MT loaders (host-only), rank build + fetch ---
+c1, d1, h1 = load_hits_v2(paf, 2000, 100, upload=False)
+c2, d2, h2 = load_hits_mt(paf, 2000, 100, upload=False)
+n = h1.n_orig
+assert np.array_equal(np.asarray(c1)[:, :n], np.asarray(c2)[:, :n])
+idx = np.concatenate([np.arange(n), h2.cap + np.arange(n)])
+r2 = h2.arc_ranks(idx)
+h2.rank_async()  # idempotent double-start guard
+r1 = h1.arc_ranks(np.concatenate([np.arange(n), h1.cap + np.arange(n)]))
+assert np.array_equal(r1, r2)
+h1.free()
+h2.free()
+# free with threads mid-flight (abort path)
+c3, d3, h3 = load_hits_mt(paf, 2000, 100, upload=False)
+h3.rank_async()
+h3.free()
+
+# --- exact radix argsort ---
+from miniasm_tpu.utils.exact_sort import radix_argsort
+
+rng = np.random.default_rng(0)
+keys = rng.integers(0, 2**63, 100_000, dtype=np.uint64)
+perm = radix_argsort(keys.copy())
+assert np.all(np.diff(keys[perm].astype(np.uint64)) >= 0)
+
+# --- finalize oracle (cleaning passes + unitig walk) on pure-numpy
+# graphs: a ground-truth chain built from the simulator's read layout
+# (so the splicer has real sequences to pull) plus a noisy braid ---
+from miniasm_tpu.graph import finalize_native as fnat
+from miniasm_tpu.graph.asg import Graph, cleanup
+
+opt = Opt()
+gs, ge = sim["gs"], sim["ge"]
+sim["ori"][:] = 0  # all-forward layout keeps the chain arithmetic linear
+write_fasta(sim, fa)
+order = np.argsort(gs, kind="stable")
+us, ls, vs, ols = [], [], [], []
+prev = int(order[0])
+for oi in order[1:]:
+    i = int(oi)
+    if ge[i] <= ge[prev]:
+        continue  # contained read: not a dovetail
+    ov = int(ge[prev]) - int(gs[i])
+    if ov >= opt.min_ovlp:
+        us += [prev << 1, (i << 1) | 1]
+        ls += [int(gs[i]) - int(gs[prev]), int(ge[i]) - int(ge[prev])]
+        vs += [i << 1, (prev << 1) | 1]
+        ols += [ov, ov]
+    prev = i
+n_seq = len(sim["names"])
+g = Graph(u=np.asarray(us, np.int32), l=np.asarray(ls, np.int32),
+          v=np.asarray(vs, np.int32), ol=np.asarray(ols, np.int32),
+          adel=np.zeros(len(us), bool),
+          slen=np.asarray(sim["lens"], np.uint32),
+          sdel=np.zeros(n_seq, bool),
+          idx_start=np.zeros(2 * n_seq, np.int64),
+          idx_cnt=np.zeros(2 * n_seq, np.int32))
+g = cleanup(g)
+assert fnat.available()
+g2, ug = fnat.finalize_native(g, opt, 100, do_ug=True)
+assert ug is not None and len(ug.u) >= 1
+
+# --- a braid graph drives the oracle's bubble/short-overlap machinery ---
+rng2 = np.random.default_rng(4)
+n_back = 40
+lens2 = [10_000] * n_back
+bu, bl, bv, bo = [], [], [], []
+
+
+def _arc(a, b, l, ol):
+    bu.extend([a, b ^ 1])
+    bl.extend([l, l])
+    bv.extend([b, a ^ 1])
+    bo.extend([ol, ol])
+
+
+for i in range(n_back - 1):
+    _arc(i << 1, (i + 1) << 1, 4000, 6000)
+for _ in range(14):
+    i = int(rng2.integers(0, n_back - 2))
+    alt = len(lens2)
+    lens2.append(10_000)
+    _arc(i << 1, alt << 1, int(rng2.integers(2000, 6000)), 5000)
+    _arc(alt << 1, (i + 2) << 1, int(rng2.integers(2000, 6000)), 5000)
+nb2 = len(lens2)
+gb = Graph(u=np.asarray(bu, np.int32), l=np.asarray(bl, np.int32),
+           v=np.asarray(bv, np.int32), ol=np.asarray(bo, np.int32),
+           adel=np.zeros(len(bu), bool),
+           slen=np.asarray(lens2, np.uint32), sdel=np.zeros(nb2, bool),
+           idx_start=np.zeros(2 * nb2, np.int64),
+           idx_cnt=np.zeros(2 * nb2, np.int32))
+gb = cleanup(gb)
+_, ugb = fnat.finalize_native(gb, opt, 100, do_ug=True)
+assert ugb is not None
+
+# --- FASTA/Q splicer (sub tables = whole reads) ---
+from miniasm_tpu.io.seqdict import SeqDict as SD
+from miniasm_tpu.unitig.seq import _ug_seq_native
+
+d = SD.from_arrays(sim["names"], sim["lens"])
+sub_s = np.zeros(n_seq, np.uint32)
+sub_e = np.asarray(sim["lens"], np.uint32)
+ok = _ug_seq_native(ug, d, sub_s, sub_e, fa)
+assert ok and any(u.s for u in ug.u)
+
+shutil.rmtree(tmp)
+print("asan driver: all native entry points exercised")
