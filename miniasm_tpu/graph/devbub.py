@@ -59,16 +59,34 @@ def _pow2(x: int) -> int:
     return n
 
 
-@functools.partial(jax.jit, static_argnames=("K", "max_dist"))
-def _bub_kernel(nbr_v, nbr_l, present, alive, outdeg_raw, live_out,
-                sources, *, K, max_dist):
+@functools.partial(jax.jit, static_argnames=("Vp", "Dp", "K", "max_dist"))
+def _bub_kernel(au, al, av, adel, sources, *, Vp, Dp, K, max_dist):
     """For each source v0 (padded with -1): run the bounded Kahn BFS.
+
+    The (Vp, Dp) neighbor tables are scattered ON DEVICE from the
+    compacted per-arc columns (compare devclean._clean_kernel): uploading
+    O(n_arc) columns instead of the padded tables keeps the per-dispatch
+    H2D at a few MB on worm-scale graphs.  `adel` rides along because the
+    deleted-arc v0 test needs tombstoned slots too.
 
     Returns per source: ok (bubble found), ovf (visited cap hit), nb
     (#visited incl. v0), ntip, sink vertex (-1 if none), vis (K,) visited
     vertices in visit order (vis[0]=v0), par (K,) parent vertex per slot.
     """
-    Dp = nbr_v.shape[1]
+    au = au.astype(I32)
+    first = jnp.searchsorted(au, jnp.arange(Vp + 1, dtype=I32), side="left")
+    nraw = (first[1:] - first[:Vp]).astype(I32)
+    slots = jnp.arange(au.shape[0], dtype=I32) - first[jnp.minimum(au, Vp)]
+    nbr_v = jnp.full((Vp, Dp), -1, I32).at[au, slots].set(
+        av.astype(I32), mode="drop")
+    nbr_l = jnp.zeros((Vp, Dp), I32).at[au, slots].set(
+        al.astype(I32), mode="drop")
+    present = (jax.lax.broadcasted_iota(I32, (Vp, Dp), 1) < nraw[:, None])
+    alv_tab = jnp.zeros((Vp, Dp), bool).at[au, slots].set(
+        ~adel, mode="drop")
+    alive = present & alv_tab
+    outdeg_raw = nraw
+    live_out = jnp.sum(alive, axis=1).astype(I32)
     iota_k = jnp.arange(K, dtype=I32)
 
     def one(v0):
@@ -161,40 +179,37 @@ def _bub_kernel(nbr_v, nbr_l, present, alive, outdeg_raw, live_out,
     return jax.vmap(one)(sources)
 
 
-def _build_tables(g: Graph):
-    """Padded (Vp, Dp) neighbor tables from the LIVE graph (tombstones
-    included: `present` covers raw slots for the deleted-arc v0 test)."""
+def _arc_cols(g: Graph):
+    """Compacted per-arc columns, padded to a pow2 bucket with u = Vp
+    (scatters out of bounds with mode='drop').  The graph's arcs are
+    CSR-sorted by u (cleanup), which searchsorted relies on."""
     V = g.n_vtx
     Vp = _pow2(max(V, 2))
     D = max(int(g.idx_cnt.max()) if g.n_arc else 1, 1)
     Dp = _pow2(D)
-    nbr_v = np.full((Vp, Dp), -1, np.int32)
-    nbr_l = np.zeros((Vp, Dp), np.int32)
-    present = np.zeros((Vp, Dp), bool)
-    alive = np.zeros((Vp, Dp), bool)
-    rows = g.u.astype(np.int64)
-    slots = np.arange(g.n_arc, dtype=np.int64) - g.idx_start[rows]
-    nbr_v[rows, slots] = g.v
-    nbr_l[rows, slots] = g.l
-    present[rows, slots] = True
-    alive[rows, slots] = ~g.adel
-    outdeg_raw = np.zeros(Vp, np.int32)
-    outdeg_raw[:V] = g.idx_cnt[:V]
-    live_out = np.zeros(Vp, np.int32)
-    np.add.at(live_out, g.u[~g.adel].astype(np.int64), 1)
-    return nbr_v, nbr_l, present, alive, outdeg_raw, live_out, Vp, Dp
+    Ap = _pow2(max(g.n_arc, 1))
+    au = np.full(Ap, Vp, np.int32)
+    al = np.zeros(Ap, np.int32)
+    av = np.zeros(Ap, np.int32)
+    adel = np.ones(Ap, bool)
+    au[:g.n_arc] = g.u
+    al[:g.n_arc] = g.l
+    av[:g.n_arc] = g.v
+    adel[:g.n_arc] = g.adel
+    return au, al, av, adel, Vp, Dp
 
 
 def _dispatch(g: Graph, cands, max_dist: int, K: int):
     """Run the kernel over candidate sources, doubling K on overflow."""
-    tabs = _build_tables(g)[:6]
+    au, al, av, adel, Vp, Dp = _arc_cols(g)
     S = _pow2(max(len(cands), 1))
     src = np.full(S, -1, np.int32)
     src[:len(cands)] = cands
     while True:
         ok, ovf, nb, ntip, sink, vis, par = jax.device_get(_bub_kernel(
-            *[jnp.asarray(t) for t in tabs], jnp.asarray(src),
-            K=K, max_dist=int(max_dist)))
+            jnp.asarray(au), jnp.asarray(al), jnp.asarray(av),
+            jnp.asarray(adel), jnp.asarray(src),
+            Vp=Vp, Dp=Dp, K=K, max_dist=int(max_dist)))
         if not ovf[:len(cands)].any():
             return ok, nb, ntip, sink, vis, par, K
         K *= 2

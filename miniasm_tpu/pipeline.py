@@ -34,6 +34,11 @@ from .gfa.writer import ug_print, sg_print, print_subs, print_hits
 from .utils.timers import log
 
 
+# cumulative per-stage wall times of the last _run_fast_v2 invocation
+# (stage -> seconds since run start); bench.py reads this
+LAST_TIMING: dict = {}
+
+
 def _apply_cut(hits: Hits, keep, qs, qe, ts, te) -> Hits:
     keep = np.asarray(keep)
     return Hits(np.asarray(hits.qid), np.asarray(qs, dtype=np.uint32),
@@ -138,8 +143,10 @@ def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir):
 
     timing = os.environ.get("MINIASM_TPU_TIMING")
     t0 = time.time()
+    LAST_TIMING.clear()
 
     def tick(name):
+        LAST_TIMING[name] = round(time.time() - t0, 3)
         if timing:
             sys.stderr.write("[T::%s] +%.3f\n" % (name, time.time() - t0))
 
