@@ -215,49 +215,112 @@ def _dispatch(g: Graph, cands, max_dist: int, K: int):
         K *= 2
 
 
+def _host_pop1(g: Graph, v0: int, max_dist: int):
+    """Bounded Kahn BFS for ONE source against the LIVE graph — the
+    host-sequential conflict path of SURVEY §7 ("non-overlapping bubbles
+    commit in parallel; conflicting bubbles serialize").  Identical
+    semantics to the device kernel (and asg_bub_pop1); used only for
+    sources whose device verdict went stale behind an earlier commit.
+
+    Returns (ok, vis_list, sink, parent_map, ntip)."""
+    vis = [v0]
+    parent = {}
+    dd = {v0: 0}
+    cc = {v0: 0}
+    rr = {}
+    stack = [v0]
+    npend = 0
+    ntip = 0
+    while True:
+        v = stack.pop()
+        dv, cv = dd[v], cc[v]
+        s = int(g.idx_start[v])
+        nv = int(g.idx_cnt[v])
+        for ai in range(s, s + nv):
+            w = int(g.v[ai])
+            if w == v0:  # back-arc aborts even when deleted (asg.c:379)
+                return False, vis, -1, parent, 0
+            if g.adel[ai]:
+                continue
+            l = int(g.l[ai])
+            if dv + l > max_dist:
+                return False, vis, -1, parent, 0
+            if w not in dd:
+                vis.append(w)
+                parent[w] = v
+                dd[w] = dv + l
+                cc[w] = 0
+                sw = int(g.idx_start[w ^ 1])
+                cw = int(g.idx_cnt[w ^ 1])
+                rr[w] = int(np.count_nonzero(~g.adel[sw:sw + cw]))
+                npend += 1
+            else:
+                if cv + 1 > cc[w] or (cv + 1 == cc[w] and dv + l > dd[w]):
+                    parent[w] = v
+                if cv + 1 > cc[w]:
+                    cc[w] = cv + 1
+                if dv + l < dd[w]:
+                    dd[w] = dv + l
+            rr[w] -= 1
+            if rr[w] == 0:
+                if g.idx_cnt[w]:
+                    stack.append(w)
+                else:
+                    ntip += 1
+                npend -= 1
+        if not stack:
+            return False, vis, -1, parent, 0
+        if len(stack) == 1 and npend == 0:
+            return True, vis, stack[0], parent, ntip
+
+
 def pop_bubbles_dev(g: Graph, cand_mask, max_dist: int) -> int:
-    """Ordered commit of device-detected bubbles.  Returns the reference's
-    packed counter (n_popped | n_tips<<32, asg.c:405/431)."""
+    """Ordered commit of device-detected bubbles: ONE kernel dispatch
+    computes every source's verdict against the pass-entry graph; the
+    host walks sources in ascending order, applying device verdicts
+    whose read sets are untouched by earlier commits and recomputing
+    the (rare) conflicting sources with the sequential host BFS.
+    Returns the reference's packed counter (n_popped | n_tips<<32,
+    asg.c:405/431)."""
     cands = [int(v) for v in np.flatnonzero(cand_mask)]
+    if not cands:
+        return 0
     n_pop = 0
     n_tip = 0
-    K = 64
+    ok, nb, ntip, sink, vis, par, _K = _dispatch(g, cands, max_dist, 64)
     touched = np.zeros(g.n_vtx, bool)
-    i = 0
-    while i < len(cands):
-        ok, nb, ntip, sink, vis, par, K = _dispatch(
-            g, cands[i:], max_dist, K)
-        # verdicts are relative to the graph AT DISPATCH: reset staleness
-        touched[:] = False
-        any_commit = False
-        for j in range(len(cands) - i):
-            v0 = cands[i + j]
-            nbj = int(nb[j])
-            vset = vis[j, :nbj]
-            if any_commit:
-                # staleness: the bubble's read set must be untouched
-                rd = np.concatenate([vset, vset ^ 1, [v0, v0 ^ 1]])
-                if touched[rd].any():
-                    i += j
-                    break
+    any_commit = False
+    for j, v0 in enumerate(cands):
+        # live re-validation like the reference scan (asg.c:420-424)
+        if g.sdel[v0 >> 1] or g.idx_cnt[v0] < 2:
+            continue
+        s = g.idx_start[v0]
+        if int(np.sum(~g.adel[s:s + g.idx_cnt[v0]])) < 2:
+            continue
+        nbj = int(nb[j])
+        vset = vis[j, :nbj]
+        stale = False
+        if any_commit:
+            rd = np.concatenate([vset, vset ^ 1, [v0, v0 ^ 1]])
+            stale = bool(touched[rd].any())
+        if stale:
+            okj, vlist, snk, parent, ntj = _host_pop1(g, v0, max_dist)
+            if not okj:
+                continue
+            vset = np.asarray(vlist, dtype=np.int64)
+        else:
             if not bool(ok[j]):
                 continue
-            # live re-validation like the reference scan (asg.c:420-424)
-            if g.sdel[v0 >> 1] or g.idx_cnt[v0] < 2:
-                continue
-            s = g.idx_start[v0]
-            if int(np.sum(~g.adel[s:s + g.idx_cnt[v0]])) < 2:
-                continue
-            _commit(g, v0, vset, int(sink[j]),
-                    dict(zip(vset.tolist(), par[j, :nbj].tolist())))
-            n_pop += 1
-            n_tip += int(ntip[j])
-            touched[vset] = True
-            touched[vset ^ 1] = True
-            touched[[v0, v0 ^ 1]] = True
-            any_commit = True
-        else:
-            break
+            snk = int(sink[j])
+            parent = dict(zip(vset.tolist(), par[j, :nbj].tolist()))
+            ntj = int(ntip[j])
+        _commit(g, v0, vset, snk, parent)
+        n_pop += 1
+        n_tip += ntj
+        touched[np.asarray(vset)] = True
+        touched[np.asarray(vset) ^ 1] = True
+        touched[[v0, v0 ^ 1]] = True
+        any_commit = True
     return n_pop | (n_tip << 32)
 
 

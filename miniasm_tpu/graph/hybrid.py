@@ -183,25 +183,32 @@ class _Cleaner:
         (vertices with an arc into r) are targets(row r^1)^1 — tombstoned
         arcs included, which only widens the superset.  Every returned
         vertex is fully re-validated at commit time, so over-approximation
-        is safe and under-approximation is the only hazard."""
+        is safe and under-approximation is the only hazard.
+
+        Vectorized frontier expansion: each hop gathers ALL frontier rows'
+        target slices with one repeat/arange flat-index build (the Python
+        per-row loop was the hot spot of noisy worm-scale cleaning)."""
         g = self.g
-        cur = set()
-        for r in touched_rows:
-            cur.add(int(r))
-            cur.add(int(r) ^ 1)
-        out = set(cur)
+        cur = np.unique(np.asarray(list(touched_rows), dtype=np.int64))
+        cur = np.unique(np.concatenate([cur, cur ^ 1]))
+        seen = set(cur.tolist())
+        out = set(seen)
         for _ in range(self.opt.max_ext + 2):
-            nxt = set()
-            for r in cur:
-                sl = g.arcs_of(r ^ 1)
-                for t in g.v[sl]:
-                    for w in (int(t), int(t) ^ 1):
-                        if w not in out:
-                            nxt.add(w)
+            rows = cur ^ 1
+            starts = g.idx_start[rows]
+            cnts = g.idx_cnt[rows].astype(np.int64)
+            tot = int(cnts.sum())
+            if tot == 0:
+                break
+            base = np.repeat(np.cumsum(cnts) - cnts, cnts)
+            flat = np.repeat(starts, cnts) + (np.arange(tot) - base)
+            t = g.v[flat].astype(np.int64)
+            cand = np.unique(np.concatenate([t, t ^ 1]))
+            nxt = [w for w in cand.tolist() if w not in out]
             if not nxt:
                 break
-            out |= nxt
-            cur = nxt
+            out.update(nxt)
+            cur = np.asarray(nxt, dtype=np.int64)
         return out
 
     def _ordered_commit(self, cand_mask, want_start, want_ext, commit_fn,
@@ -248,13 +255,17 @@ class _Cleaner:
         them (arc_del(w^1, vv^1) tombstones in row w^1; _affected
         orientation-closes, so plain targets suffice)."""
         g = self.g
-        rows = set()
-        for _, vv in chain:
-            for r in (vv, vv ^ 1):
-                rows.add(r)
-                sl = g.arcs_of(r)
-                rows.update(int(w) for w in g.v[sl])
-        return rows
+        base = np.asarray([vv for _, vv in chain], dtype=np.int64)
+        rows = np.unique(np.concatenate([base, base ^ 1]))
+        starts = g.idx_start[rows]
+        cnts = g.idx_cnt[rows].astype(np.int64)
+        tot = int(cnts.sum())
+        out = set(rows.tolist())
+        if tot:
+            off = np.repeat(np.cumsum(cnts) - cnts, cnts)
+            flat = np.repeat(starts, cnts) + (np.arange(tot) - off)
+            out.update(g.v[flat].tolist())
+        return out
 
     def cut_tip(self):
         g = self.g
