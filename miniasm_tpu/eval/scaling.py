@@ -49,10 +49,23 @@ def measure(paf_fn: str, n_devices_list, *, repeats: int = 3) -> dict:
             n_mirror = len(load.qid) + int(np.sum(load.qid != load.tid))
         rates[n] = n_mirror / min(times[1:])
     base = rates.get(1)
+    # raw efficiency r/(base*n) is structurally bounded by 1/n on a
+    # TIME-SLICED virtual mesh (all shards share the same cores), so the
+    # meaningful statistic here is the TOTAL-WORK ratio single/sharded:
+    # on n real hosts each shard runs on its own silicon, so projected
+    # wall ~= sharded_wall/n and projected efficiency ~= base_rate /
+    # sharded_rate ... inverted: single_wall / sharded_wall.
     eff = {n: (r / (base * n) if base else 0.0) for n, r in rates.items()}
+    proj = {n: (r / base if base else 0.0) for n, r in rates.items()}
     return {"overlaps": n_mirror,
             "overlaps_per_s": {str(n): round(r) for n, r in rates.items()},
-            "efficiency": {str(n): round(e, 3) for n, e in eff.items()}}
+            "efficiency_timesliced": {str(n): round(e, 3)
+                                      for n, e in eff.items()},
+            "projected_efficiency": {str(n): round(e, 3)
+                                     for n, e in proj.items()},
+            "note": "virtual CPU mesh: shards time-slice the same cores; "
+                    "projected_efficiency = total-work ratio vs single "
+                    "(collective+padding overhead), the real-ICI proxy"}
 
 
 def main(argv):

@@ -299,7 +299,7 @@ class HitsMt:
 
 
 def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
-                 min_iden=0.05, n_workers=2, upload=True):
+                 min_iden=0.05, n_workers=2, upload=True, block_bytes=0):
     """Pipelined loader: reader + parser threads tokenize and chunk-intern
     while the consumer globalizes ids in order and device_puts fixed-size
     (7, 2^19) pieces, so parsing, H2D transfer, and (via the later
@@ -322,10 +322,11 @@ def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
                                 ctypes.c_int64, ctypes.c_char_p,
                                 ctypes.c_int64, ctypes.c_int,
                                 ctypes.c_double, ctypes.c_int64,
-                                ctypes.c_int]
+                                ctypes.c_int, ctypes.c_int64]
     lib.ma_mt_next.restype = ctypes.c_int64
     lib.ma_mt_next.argtypes = [ctypes.c_void_p,
-                               ctypes.POINTER(ctypes.c_int32)]
+                               ctypes.POINTER(ctypes.c_int32),
+                               ctypes.c_int64]
     lib.ma_mt_info.argtypes = [ctypes.c_void_p, ctypes.POINTER(_MaMtInfo)]
     lib.ma_mt_names.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.ma_mt_seq_len.argtypes = [ctypes.c_void_p,
@@ -345,24 +346,32 @@ def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
         blob = b""
     res = lib.ma_mt_begin(fn.encode(), min_span, min_match, blob, len(blob),
                           1 if bi_dir else 0, float(min_iden), _MT_CHUNK,
-                          n_workers)
+                          n_workers, block_bytes)
     if not res:
         raise FileNotFoundError(2, "could not open PAF file", fn)
+    # piece sizes double up to 4*_MT_CHUNK: per-device_put overhead is
+    # ~50 ms on the tunnel, so long streams want few big pieces, while
+    # small inputs keep fine cap granularity (kernel cost ∝ cap)
     pieces = []
+    cap = 0
+    k = 0
     while True:
-        buf = np.empty((7, _MT_CHUNK), dtype=np.int32)
+        sz = _MT_CHUNK * min(4, 1 << (k // 2))
+        k += 1
+        buf = np.empty((7, sz), dtype=np.int32)
         n = lib.ma_mt_next(
-            res, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+            res, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), sz)
         if n == 0 and pieces:
             break
         pieces.append(jax.device_put(buf) if upload else buf)
-        if n < _MT_CHUNK:
+        cap += sz
+        if n < sz:
             break
     if not upload:
         colmat_dev = (pieces[0] if len(pieces) == 1
                       else np.concatenate(pieces, axis=1))
     else:
         colmat_dev = pieces[0] if len(pieces) == 1 else _concat_jit(*pieces)
-    h = HitsMt(lib, res, cap=len(pieces) * _MT_CHUNK)
+    h = HitsMt(lib, res, cap=cap)
     d = h.seqdict()
     return colmat_dev, d, h

@@ -107,6 +107,7 @@ struct MtState {
     int bi_dir;
     float iden_f;
     int64_t chunk_recs;
+    int64_t block_bytes = 0;  // 0 = default 8 MB; tests shrink it
     std::unordered_set<std::string> excl;
 
     // block queue (reader -> workers)
@@ -158,7 +159,8 @@ struct MtState {
 };
 
 void reader_main(MtState* st) {
-    const size_t BLK = 8 << 20;
+    const size_t BLK = st->block_bytes > 0
+        ? static_cast<size_t>(st->block_bytes) : (8 << 20);
     std::string carry;
     int64_t seq = 0;
     std::vector<char> buf(BLK);
@@ -400,7 +402,8 @@ struct MaMtInfo {
 
 MtState* ma_mt_begin(const char* fn, int64_t min_span, int64_t min_match,
                      const char* excl_names, int64_t excl_bytes, int bi_dir,
-                     double min_iden, int64_t chunk_recs, int n_workers) {
+                     double min_iden, int64_t chunk_recs, int n_workers,
+                     int64_t block_bytes) {
     gzFile fp = (fn && std::strcmp(fn, "-") != 0) ? gzopen(fn, "r")
                                                   : gzdopen(0, "r");
     if (!fp) return nullptr;
@@ -412,6 +415,7 @@ MtState* ma_mt_begin(const char* fn, int64_t min_span, int64_t min_match,
     st->bi_dir = bi_dir;
     st->iden_f = static_cast<float>(min_iden);
     st->chunk_recs = chunk_recs;
+    st->block_bytes = block_bytes;
     for (int64_t off = 0; off < excl_bytes;) {
         size_t len = std::strlen(excl_names + off);
         st->excl.emplace(excl_names + off, len);
@@ -423,11 +427,13 @@ MtState* ma_mt_begin(const char* fn, int64_t min_span, int64_t min_match,
     return st;
 }
 
-// Fill out (7, chunk_recs) int32 with the next piece of globalized
-// records [qid qs qe tid ts te flags]; zero-pads the tail.  Returns the
-// number of real records in the piece (0 = end of stream).
-int64_t ma_mt_next(MtState* st, int32_t* out) {
-    const int64_t C = st->chunk_recs;
+// Fill out (7, want) int32 with the next piece of globalized records
+// [qid qs qe tid ts te flags]; zero-pads the tail.  Returns the number
+// of real records in the piece (0 = end of stream).  `want` <= 0 falls
+// back to the chunk_recs passed at begin; callers grow the piece size
+// as the stream lengthens to amortize per-upload overhead.
+int64_t ma_mt_next(MtState* st, int32_t* out, int64_t want) {
+    const int64_t C = want > 0 ? want : st->chunk_recs;
     int64_t filled = 0;
     int32_t* R[7];
     for (int r2 = 0; r2 < 7; ++r2) R[r2] = out + r2 * C;

@@ -131,3 +131,31 @@ def test_mt_loader_bl_carry_and_excl(tmp_path):
     c2, d2, h2 = load_hits_mt(str(p), 2000, 100, excl=excl)
     assert h2.n_orig == 1 and d2.names == ["c", "d"]
     h2.free()
+
+
+@pytest.mark.skipif(not available(), reason="native lib unavailable")
+def test_mt_loader_multichunk(sim_small):
+    """Force many reader blocks (4 KB) and many small pieces so the
+    cross-chunk interning, bl-carry plumbing, and multi-piece cap
+    arithmetic are exercised on a fixture-sized input."""
+    from miniasm_tpu.io.native import pafload as P
+    from miniasm_tpu.io.native.pafload import load_hits_mt, load_hits_v2
+
+    c1, d1, h1 = load_hits_v2(sim_small["paf"], 2000, 100)
+    n = h1.n_orig
+    old = P._MT_CHUNK
+    P._MT_CHUNK = 512
+    try:
+        c2, d2, h2 = load_hits_mt(sim_small["paf"], 2000, 100,
+                                  upload=False, block_bytes=4096)
+    finally:
+        P._MT_CHUNK = old
+    assert h2.n_orig == n and h2.n_mirror == h1.n_mirror
+    assert d1.names == d2.names and d1.lens == d2.lens
+    a1, a2 = np.asarray(c1), np.asarray(c2)
+    assert np.array_equal(a1[:, :n], a2[:, :n])
+    idx1 = np.concatenate([np.arange(n), h1.cap + np.arange(n)])
+    idx2 = np.concatenate([np.arange(n), h2.cap + np.arange(n)])
+    assert np.array_equal(h1.arc_ranks(idx1), h2.arc_ranks(idx2))
+    h1.free()
+    h2.free()
