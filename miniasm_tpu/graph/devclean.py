@@ -73,17 +73,16 @@ def build_arcs(g: Graph):
     Vp = _pow2(max(V, 2))
     Dp = _pow2(D)
     Ap = _pow2(max(g.n_arc, 1))
-    maxval = max(Vp + 1, int(g.l.max()) if g.n_arc else 0,
-                 int(g.ol.max()) if g.n_arc else 0)
-    dt = np.uint16 if maxval < 65535 else np.int32
-    au = np.full(Ap, Vp, dtype=dt)
-    al = np.zeros(Ap, dtype=dt)
-    aol = np.zeros(Ap, dtype=dt)
-    av = np.zeros(Ap, dtype=dt)
-    au[:g.n_arc] = g.u.astype(dt)
-    al[:g.n_arc] = g.l.astype(dt)
-    aol[:g.n_arc] = g.ol.astype(dt)
-    av[:g.n_arc] = g.v.astype(dt)
+    # int32 columns always: sub-word device arrays hit a pathological
+    # transfer/lowering path on this backend (measured on the tunnel)
+    au = np.full(Ap, Vp, dtype=np.int32)
+    al = np.zeros(Ap, dtype=np.int32)
+    aol = np.zeros(Ap, dtype=np.int32)
+    av = np.zeros(Ap, dtype=np.int32)
+    au[:g.n_arc] = g.u
+    al[:g.n_arc] = g.l
+    aol[:g.n_arc] = g.ol
+    av[:g.n_arc] = g.v
     sdel_v = np.ones(Vp, dtype=bool)  # padding vertices are "deleted"
     sdel_v[:V] = g.sdel[np.arange(V) >> 1]
     return au, al, av, aol, sdel_v, V, Vp, Dp, Ap
@@ -267,18 +266,27 @@ def _clean_kernel(au, al, av, aol, sdel_v, *, Vp, Dp, n_chunks,
     biloop_cand = mn_start & (ext_code == 2)
     bub_cand = not_sdel & (nlive >= 2)
 
-    # pack per-slot masks into one bitfield for a single fetch (uint8 when
-    # the trans/multi/asymm + per-ratio masks fit, i.e. <= 5 drop rounds)
-    bt = jnp.uint8 if 3 + len(ratios) <= 8 else I32
-    bits = (elim.astype(bt)
-            | (multi.astype(bt) << 1)
-            | (asymm.astype(bt) << 2))
+    # pack per-slot masks into one bitfield for a single fetch.  Word
+    # type stays int32 (sub-word D2H is pathological on this backend);
+    # with <= 8 bits per slot, four slots pack into each int32 lane so
+    # the transfer moves the same bytes a uint8 array would
+    bits = (elim.astype(I32)
+            | (multi.astype(I32) << 1)
+            | (asymm.astype(I32) << 2))
     for k, m in enumerate(shorts):
-        bits = bits | (m.astype(bt) << (3 + k))
-    cands = (tip_cand.astype(jnp.uint8)
-             | (internal_cand.astype(jnp.uint8) << 1)
-             | (biloop_cand.astype(jnp.uint8) << 2)
-             | (bub_cand.astype(jnp.uint8) << 3))
+        bits = bits | (m.astype(I32) << (3 + k))
+    if 3 + len(ratios) <= 8 and D % 4 == 0:
+        b4 = bits.reshape(Vp, D // 4, 4)
+        bits = (b4[:, :, 0] | (b4[:, :, 1] << 8) | (b4[:, :, 2] << 16)
+                | (b4[:, :, 3] << 24))
+    cands = (tip_cand.astype(I32)
+             | (internal_cand.astype(I32) << 1)
+             | (biloop_cand.astype(I32) << 2)
+             | (bub_cand.astype(I32) << 3))
+    if Vp % 4 == 0:
+        c4 = cands.reshape(Vp // 4, 4)
+        cands = (c4[:, 0] | (c4[:, 1] << 8) | (c4[:, 2] << 16)
+                 | (c4[:, 3] << 24))
     counters = jnp.stack([n_trans, n_multi, n_asymm]
                          + [jnp.sum(m) for m in shorts])
     return bits, cands, counters
@@ -322,10 +330,17 @@ def detect(g: Graph, opt, *, do_trans: bool, do_symm: bool = True,
         max_ext=int(opt.max_ext), do_trans=do_trans, do_symm=do_symm,
         row_sharding=row_sharding)
     bits, cands, counters = jax.device_get((bits, cands, counters))
+    # unpack the 4-slots-per-int32-lane wire format (little-endian bytes)
+    if 3 + len(ratios) <= 8 and Dp % 4 == 0:
+        bits = np.ascontiguousarray(bits).view(np.uint8).reshape(Vp, Dp)
+    if Vp % 4 == 0:
+        cands = (np.ascontiguousarray(cands).view(np.uint8)
+                 .reshape(Vp)[:V].astype(np.int32))
+    else:
+        cands = cands[:V]
     rows = g.u.astype(np.int64)
     slots = np.arange(g.n_arc, dtype=np.int64) - g.idx_start[rows]
     arc_bits = bits[rows, slots] if g.n_arc else np.zeros(0, np.int32)
-    cands = cands[:V]
     out = {
         "trans": (arc_bits & 1).astype(bool),
         "multi": ((arc_bits >> 1) & 1).astype(bool),
