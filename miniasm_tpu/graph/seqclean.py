@@ -1,13 +1,14 @@
-"""Order-dependent graph-cleaning passes: tip cutting, internal-unitig
-cutting, bi-loop cutting and bubble popping.
+"""ORACLE (executable spec) — NOT the production path.
 
-These reference passes (asg.c:199-433) mutate the graph as they scan, and
-later vertices observe earlier deletions, so their results depend on commit
-order.  The parity path here commits sequentially in vertex order, exactly
-like the reference; the per-step work is O(local degree) on the
-already-reduced graph (tiny compared to the hit-processing stages that run
-on device).  Device-parallel candidate pre-filtering can be layered on top
-without changing results.
+Sequential transliteration of the reference's order-dependent cleaning
+passes (asg.c:199-433): tip cutting, internal-unitig cutting, bi-loop
+cutting and bubble popping.  These passes mutate the graph as they scan,
+and later vertices observe earlier deletions, so their results depend on
+commit order; this module reproduces that order verbatim and exists so
+the property tests can cross-check the production hybrid path
+(graph/hybrid.py + graph/devbub.py: device detection, ordered host
+commits) against a direct rendering of the reference semantics.  It is
+reachable in the CLI only via the debug switch MINIASM_TPU_CLEAN=py.
 """
 
 from __future__ import annotations

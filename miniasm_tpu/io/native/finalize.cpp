@@ -1,5 +1,11 @@
-// Native graph finalizer: the order-dependent cleaning passes + unitig
-// generation, run after the device transitive-reduction kernel.
+// ORACLE (sequential C++ cross-check) — NOT the production path.
+//
+// Production cleaning is graph/hybrid.py + graph/devclean.py +
+// graph/devbub.py (device detection, ordered host commits); this file is
+// a function-by-function transliteration of the reference kept so tests
+// can diff three independent implementations (device-hybrid, this, and
+// the Python spec) against each other and the reference binary.  It is
+// reachable in the CLI only via the debug switch MINIASM_TPU_CLEAN=native.
 //
 // Implements the exact sequential semantics of the reference's
 // asg.c:83-433 (weak-overlap drop, multi/asymm deletion, tip cutting,

@@ -27,7 +27,6 @@ from .select.filter import hit_flt, flt_coverage
 from .select.contained import hit_contained
 from .graph.asg import graph_from_hits
 from .graph.clean import del_trans, del_short
-from .graph.seqclean import cut_tip, cut_internal, cut_biloop, pop_bubble
 from .unitig.unitig import ug_gen
 from .unitig.seq import ug_seq
 from .gfa.writer import ug_print, sg_print, print_subs, print_hits
@@ -258,6 +257,12 @@ def _emit(paf_fn, opt, outfmt, fn_reads, stage, out, d, hits,
             return ug
         sg_print(g, d, sub_s, sub_e, out)
         return g
+
+    # MINIASM_TPU_CLEAN=py: the sequential Python ORACLE (graph/seqclean
+    # transliterates the reference passes; tests cross-check hybrid/native
+    # against it — never the production default)
+    from .graph.seqclean import (cut_tip, cut_internal, cut_biloop,
+                                 pop_bubble)
 
     if stage >= 7:
         sys.stderr.write("[M::main] ===> Step 4.2: initial tip cutting and bubble popping <===\n")
