@@ -140,6 +140,19 @@ def _partition(cols, n_seq, n_shards):
 
 def _make_select_step(mesh, n_seq, n_seq_cap, opt, *, per, block, cap,
                       pack_se, arc_cap):
+    """Sharded Steps 2-3 with DUAL-SIDED rows and per-pass EVENT exchange.
+
+    Every original row stays at its query's owner and carries both its
+    own orientation and the implied mirror as lanes (exactly like the
+    single-device kernel, select/fused2.py) — the mirrored hit array is
+    never materialized, so per-shard row work is O(originals/n).  What
+    crosses shards per sweep pass is only the mirror-side EVENT payload
+    (target id + clipped interval + validity), routed to the target's
+    owner with one all_to_all; the per-read trim tables come back
+    replicated via owner-masked psum for the cut-pass gathers.  Total
+    work across shards stays ~1x the single-device kernel (the old
+    materialized-mirror design paid ~2x and its virtual-mesh total-work
+    efficiency capped at 50%)."""
     import functools
 
     import jax
@@ -147,7 +160,7 @@ def _make_select_step(mesh, n_seq, n_seq_cap, opt, *, per, block, cap,
     from jax.sharding import PartitionSpec as P
 
     from ..core.hit2arc import hit2arc, MA_HT_QCONT, MA_HT_TCONT
-    from ..select.fused2 import _sub_pass, _pack_tab, _cut_pass
+    from ..select.fused2 import (BIG, _pack_tab, _cut_pass, sweep_events)
 
     I32 = jnp.int32
     axis = mesh.axis_names[0]
@@ -176,46 +189,72 @@ def _make_select_step(mesh, n_seq, n_seq_cap, opt, *, per, block, cap,
     def step(colmat):
         qid, qs, qe, tid, ts, te, fl, gid = [colmat[i] for i in range(8)]
         valid0 = (fl & 1) != 0
-        not_self0 = qid != tid
+        rev = (fl >> 1) & 1
+        iden = ((fl >> 2) & 1).astype(bool)
+        is_self = qid == tid
+        not_self = ~is_self
+        vq = valid0
+        vm = valid0 & not_self
 
-        # ---- mirror + all_to_all to the mirror query's owner ----
-        m = jnp.stack([tid, ts, te, qid, qs, qe, fl, gid | 1])
-        mdest = jnp.where(valid0 & not_self0, tid // block, n_sh)
+        # static exchange layout: the m-side payload of row j always goes
+        # to tid//block; compute the bucketed scatter indices once
+        mdest = jnp.where(vm, tid // block, n_sh)
         L = qid.shape[0]
         iota = jnp.arange(L, dtype=I32)
         order = jax.lax.sort((mdest, iota), dimension=0, is_stable=True,
                              num_keys=1)[1]
         sdest = mdest[order]
-        sm = m[:, order]
         first = jnp.searchsorted(sdest, jnp.arange(n_sh + 1, dtype=I32),
                                  side="left").astype(I32)
         slot = iota - first[jnp.minimum(sdest, n_sh)]
         flat = jnp.where(sdest < n_sh, sdest * cap + slot, n_sh * cap)
-        send = jnp.zeros((HIT_ROWS, n_sh * cap + 1), dtype=I32)
-        send = send.at[:, flat].set(sm)
-        svalid = jnp.zeros((n_sh * cap + 1,), dtype=jnp.bool_)
-        svalid = svalid.at[flat].set(sdest < n_sh)
-        send = send[:, :n_sh * cap].reshape(HIT_ROWS, n_sh, cap)
-        svalid = svalid[:n_sh * cap].reshape(n_sh, cap)
-        recv = jax.lax.all_to_all(send, axis, split_axis=1, concat_axis=1)
-        rvalid = jax.lax.all_to_all(svalid, axis, split_axis=0, concat_axis=0)
 
-        # ---- merged one-sided rows (== the reference's mirrored array) ----
-        cols = [jnp.concatenate([c, r]) for c, r in
-                zip((qid, qs, qe, tid, ts, te, fl, gid),
-                    [recv.reshape(HIT_ROWS, -1)[i] for i in range(HIT_ROWS)])]
-        qid, qs, qe, tid, ts, te, fl, gid = cols
-        vq = jnp.concatenate([valid0, rvalid.reshape(-1)])
-        vm = jnp.zeros_like(vq)
-        # neutralize padding rows for the table scatters
-        qid = jnp.where(vq, qid, dump)
-        rev = (fl >> 1) & 1
-        iden = ((fl >> 2) & 1).astype(bool)
-        not_self = qid != tid
+        def exchange(payload):
+            """payload: (R, L) int32 in row order -> (R, n_sh*cap) received
+            + validity mask."""
+            sm = payload[:, order]
+            R = payload.shape[0]
+            send = jnp.zeros((R, n_sh * cap + 1), dtype=I32)
+            send = send.at[:, flat].set(sm)
+            svalid = jnp.zeros((n_sh * cap + 1,), dtype=jnp.bool_)
+            svalid = svalid.at[flat].set(sdest < n_sh)
+            send = send[:, :n_sh * cap].reshape(R, n_sh, cap)
+            svalid = svalid[:n_sh * cap].reshape(n_sh, cap)
+            recv = jax.lax.all_to_all(send, axis, split_axis=1,
+                                      concat_axis=1)
+            rvalid = jax.lax.all_to_all(svalid, axis, split_axis=0,
+                                        concat_axis=0)
+            return recv.reshape(R, -1), rvalid.reshape(-1)
+
+        def sweep(cqs, cqe, cts, cte, vq, vm, end_clip):
+            """One ma_hit_sub pass: local q-events + exchanged m-events ->
+            LOCAL per-read tables (own block only) + n_rem."""
+            okq = vq & not_self & iden & (cqe - end_clip > cqs + end_clip)
+            okm = vm & not_self & iden & (cte - end_clip > cts + end_clip)
+            # m-side payload to the target's owner: seg, start, end, flags
+            pay = jnp.stack([tid, cts + end_clip, cte - end_clip,
+                             vm.astype(I32) | (okm.astype(I32) << 1)])
+            r, rv = exchange(pay)
+            rtid = jnp.where(rv, r[0], dump)
+            rpres = rv & ((r[3] & 1) != 0)
+            rok = rv & ((r[3] & 2) != 0)
+            segq = jnp.where(vq, qid, jnp.int32(T))
+            segr = jnp.where(rpres, rtid, jnp.int32(T))
+            seg = jnp.concatenate([segq, segq, segr, segr])
+            key = jnp.concatenate([
+                jnp.where(okq, (cqs + end_clip) * 2, BIG),
+                jnp.where(okq, (cqe - end_clip) * 2 + 1, BIG),
+                jnp.where(rok, r[1] * 2, BIG),
+                jnp.where(rok, r[2] * 2 + 1, BIG)])
+            has_query = (jnp.zeros(T, bool)
+                         .at[jnp.where(vq, qid, T)].set(vq, mode="drop")
+                         .at[jnp.where(rpres, rtid, T)].set(rpres,
+                                                            mode="drop"))
+            return sweep_events(seg, key, has_query, T, opt.min_dp,
+                                end_clip, False)
 
         # ---- Step 2: crude sweep + cut (main.c:122-125) ----
-        s1, e1, d1, _, n_rem1 = _sub_pass(qid, tid, qs, qe, ts, te, vq, vm,
-                                          iden, not_self, T, opt.min_dp, 0)
+        s1, e1, d1, _, n_rem1 = sweep(qs, qe, ts, te, vq, vm, 0)
         n_rem1 = jax.lax.psum(n_rem1, axis)
         s1 = combine_tab(s1)
         e1 = combine_tab(e1)
@@ -224,24 +263,35 @@ def _make_select_step(mesh, n_seq, n_seq_cap, opt, *, per, block, cap,
         keep, qs, qe, ts, te, slq, slt = _cut_pass(
             qid, tid, qs, qe, ts, te, rev, w1, pack_se, opt.min_span)
         vq = vq & keep
-        n_cut1 = jax.lax.psum(jnp.sum(vq), axis)
+        vm = vm & keep
+        n_cut1 = jax.lax.psum(jnp.sum(vq) + jnp.sum(vm), axis)
 
-        # ---- arc filter, relaxed params (hit.c:195-216) ----
+        # ---- arc filter, relaxed params (hit.c:195-216), both sides ----
         cq = hit2arc(qid, qs, qe, tid, ts, te, rev, slq, slt,
                      int(opt.max_hang * 1.5), 0.5, int(opt.min_ovlp * 0.5))
-        r1 = cq["r"]
-        vq = vq & ((r1 >= 0) | (r1 == MA_HT_QCONT) | (r1 == MA_HT_TCONT))
-        n_flt = jax.lax.psum(jnp.sum(vq), axis)
-        dpv = jnp.where(vq, jnp.where(r1 >= 0, r1,
-                        jnp.where(r1 == MA_HT_QCONT, slq, slt)), 0)
+        cm = hit2arc(tid, ts, te, qid, qs, qe, rev, slt, slq,
+                     int(opt.max_hang * 1.5), 0.5, int(opt.min_ovlp * 0.5))
+
+        def flt_keep(c):
+            r2 = c["r"]
+            return (r2 >= 0) | (r2 == MA_HT_QCONT) | (r2 == MA_HT_TCONT)
+
+        def flt_dp(c, sq, st):
+            r2 = c["r"]
+            return jnp.where(r2 >= 0, r2,
+                             jnp.where(r2 == MA_HT_QCONT, sq, st))
+
+        vq = vq & flt_keep(cq)
+        vm = vm & flt_keep(cm)
+        n_flt = jax.lax.psum(jnp.sum(vq) + jnp.sum(vm), axis)
+        dpv = (jnp.where(vq, flt_dp(cq, slq, slt), 0)
+               + jnp.where(vm, flt_dp(cm, slt, slq), 0))
         dp_lo = jax.lax.psum(jnp.sum(dpv & 1023), axis)
         dp_hi = jax.lax.psum(jnp.sum(dpv >> 10), axis)
 
         # ---- Step 3: fine sweep + cut + merge (main.c:132-135) ----
-        s2, e2, d2, has_flt, n_rem2 = _sub_pass(qid, tid, qs, qe, ts, te,
-                                                vq, vm, iden, not_self, T,
-                                                opt.min_dp,
-                                                opt.min_span // 2)
+        s2, e2, d2, has_flt, n_rem2 = sweep(qs, qe, ts, te, vq, vm,
+                                            opt.min_span // 2)
         n_rem2 = jax.lax.psum(n_rem2, axis)
         s2 = combine_tab(s2)
         e2 = combine_tab(e2)
@@ -256,7 +306,8 @@ def _make_select_step(mesh, n_seq, n_seq_cap, opt, *, per, block, cap,
         keep, qs, qe, ts, te, slq, slt = _cut_pass(
             qid, tid, qs, qe, ts, te, rev, w2, pack_se, opt.min_span)
         vq = vq & keep
-        n_cut2 = jax.lax.psum(jnp.sum(vq), axis)
+        vm = vm & keep
+        n_cut2 = jax.lax.psum(jnp.sum(vq) + jnp.sum(vm), axis)
 
         ms = s1 + s2
         me = s1 + e2
@@ -266,42 +317,48 @@ def _make_select_step(mesh, n_seq, n_seq_cap, opt, *, per, block, cap,
         #      asm.c:9-39); the cut-pass spans are the merged lengths ----
         cq = hit2arc(qid, qs, qe, tid, ts, te, rev, slq, slt,
                      opt.max_hang, float(opt.int_frac), opt.min_ovlp)
+        cm = hit2arc(tid, ts, te, qid, qs, qe, rev, slt, slq,
+                     opt.max_hang, float(opt.int_frac), opt.min_ovlp)
         rq = jnp.where(vq, cq["r"], 0)
-        cont = jnp.zeros(T, bool)
-        cont = cont.at[jnp.where(rq == MA_HT_QCONT, qid, dump)].set(True)
-        cont = cont.at[jnp.where(rq == MA_HT_TCONT,
-                                 jnp.minimum(tid, dump), dump)].set(True)
-        cont = cont.at[dump].set(False)
-        cont = combine_or(cont)
-
-        used = jnp.zeros(T, bool)
-        used = used.at[jnp.where(vq, qid, dump)].set(vq)
-        used = used.at[jnp.where(vq, jnp.minimum(tid, dump), dump)].set(vq)
-        used = used.at[dump].set(False)
-        used = combine_or(used)
-
-        is_self = qid == tid
+        rm = jnp.where(vm, cm["r"], 0)
+        vqm = vq | vm
         pal_rows = vq & (cq["r"] >= 0) & is_self & (qs == ts) & (qe == te) \
             & (rev != 0)
-        pal = jnp.zeros(T, bool).at[
-            jnp.where(pal_rows, qid, dump)].set(pal_rows)
-        pal = pal.at[dump].set(False)
-        pal = combine_or(pal)
+        qbits = (vqm.astype(I32)
+                 | (((rq == MA_HT_QCONT) | (rm == MA_HT_TCONT))
+                    .astype(I32) << 1)
+                 | (pal_rows.astype(I32) << 2))
+        tbits = (vqm.astype(I32)
+                 | (((rq == MA_HT_TCONT) | (rm == MA_HT_QCONT))
+                    .astype(I32) << 1))
+        tab = (jnp.zeros(T, I32)
+               .at[jnp.minimum(qid, dump)].max(qbits)
+               .at[jnp.minimum(tid, dump)].max(tbits))
+        used = combine_or((tab & 1) != 0)
+        cont = combine_or((tab & 2) != 0)
+        pal = combine_or((tab & 4) != 0)
 
         read_alive = used & ~mdel & ~cont
-        aq = read_alive[qid]
+        aq = read_alive[jnp.minimum(qid, dump)]
         at = read_alive[jnp.minimum(tid, dump)]
-        m_cont = jax.lax.psum(jnp.sum(vq & aq & at), axis)
+        m_cont = jax.lax.psum(jnp.sum(vq & aq & at) + jnp.sum(vm & aq & at),
+                              axis)
 
-        arc_rows = vq & (cq["r"] >= 0) & not_self & aq & at
+        arc_q = vq & (cq["r"] >= 0) & not_self & aq & at
+        arc_m = vm & (cm["r"] >= 0) & not_self & aq & at
+        arc_rows = jnp.concatenate([arc_q, arc_m])
         n_arc_local = jnp.sum(arc_rows)
-        n = qid.shape[0]
-        idx = jnp.nonzero(arc_rows, size=arc_cap, fill_value=n - 1)[0]
+        idx = jnp.nonzero(arc_rows, size=arc_cap, fill_value=2 * L - 1)[0]
         ok = jnp.arange(arc_cap, dtype=I32) < n_arc_local
+        au = jnp.concatenate([cq["u"], cm["u"]])[idx]
+        al = jnp.concatenate([cq["l"], cm["l"]])[idx]
+        av = jnp.concatenate([cq["v"], cm["v"]])[idx]
+        aol = jnp.concatenate([cq["ol"], cm["ol"]])[idx]
+        agid = jnp.concatenate([gid, gid | 1])[idx]
         arcmat = jnp.stack([
-            jnp.where(ok, cq["u"][idx], 0), jnp.where(ok, cq["l"][idx], 0),
-            jnp.where(ok, cq["v"][idx], 0), jnp.where(ok, cq["ol"][idx], 0),
-            jnp.where(ok, gid[idx], -1)])
+            jnp.where(ok, au, 0), jnp.where(ok, al, 0),
+            jnp.where(ok, av, 0), jnp.where(ok, aol, 0),
+            jnp.where(ok, agid, -1)])
 
         meta = jnp.stack([ms, me, mdel.astype(I32), cont.astype(I32),
                           used.astype(I32),
@@ -338,11 +395,11 @@ def run_sharded(paf_fn, opt: Opt, mesh, *, outfmt: str = "ug",
     rank = _mirror_ranks(cols, d)
     max_len = int(np.max(d.lens_array())) if n_seq else 0
     pack_se = bool(max_len < 65535)
-    # capacity proof (no overflow retry needed): every local row — `per`
-    # resident originals plus at most n_sh*cap received mirrors — yields at
-    # most ONE arc (hit2arc returns one arc or a non-arc code per row,
-    # miniasm.h:86-104), so arc_cap >= per + n_sh*cap can never drop arcs
-    arc_cap = _next_pow2(per + n_sh * cap)
+    # capacity proof (no overflow retry needed): every local row yields at
+    # most TWO arcs (its own orientation + the implied mirror; hit2arc
+    # returns one arc or a non-arc code per side, miniasm.h:86-104), so
+    # arc_cap >= 2*per can never drop arcs
+    arc_cap = _next_pow2(2 * per)
 
     gmat = jax.device_put(hostmat, NamedSharding(mesh, P(None, "r")))
     step = _make_select_step(mesh, n_seq, n_seq_cap, opt, per=per,

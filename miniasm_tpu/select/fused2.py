@@ -117,6 +117,23 @@ def _sub_pass(qid, tid, cqs, cqe, cts, cte, vq, vm, iden, not_self,
     key = jnp.concatenate([
         jnp.where(okq, esq * 2, BIG), jnp.where(okq, eeq * 2 + 1, BIG),
         jnp.where(okm, est * 2, BIG), jnp.where(okm, eet * 2 + 1, BIG)])
+
+    # presence == has_query: a read keeps its table entry whenever any of
+    # its rows' sides is valid, even when all its events are skipped (self
+    # matches / identity failures), matching the del=1 rule of hit.c:115,152
+    has_query = (jnp.zeros(T, bool)
+                 .at[jnp.minimum(jnp.where(vq, qid, T - 1), T - 1)].set(vq)
+                 .at[jnp.minimum(jnp.where(vm, tid, T - 1), T - 1)].set(vm))
+    return sweep_events(seg, key, has_query, T, min_dp, end_clip, pack15)
+
+
+def sweep_events(seg, key, has_query, T: int, min_dp: int, end_clip: int,
+                 pack15: bool):
+    """Core of the coverage sweep over a prebuilt (seg, key) event array
+    (key = clipped_pos*2 | is_end, BIG = skipped).  Split out so the
+    sharded step (parallel/full.py) can feed locally-built + exchanged
+    event sets through the identical computation."""
+    n4 = seg.shape[0]
     seg, key = jax.lax.sort([seg, key], num_keys=2)
 
     valid_ev = key != BIG
@@ -132,13 +149,6 @@ def _sub_pass(qid, tid, cqs, cqe, cts, cte, vq, vm, iden, not_self,
     # every end-transition pairs with the most recent start-transition, which
     # is in its own segment (depth enters and leaves each segment at 0)
     start_pos = ffill(is_start_tr, pos)
-
-    # presence == has_query: a read keeps its table entry whenever any of
-    # its rows' sides is valid, even when all its events are skipped (self
-    # matches / identity failures), matching the del=1 rule of hit.c:115,152
-    has_query = (jnp.zeros(T, bool)
-                 .at[jnp.minimum(jnp.where(vq, qid, T - 1), T - 1)].set(vq)
-                 .at[jnp.minimum(jnp.where(vm, tid, T - 1), T - 1)].set(vm))
 
     if pack15:
         NEG = jnp.int32(0x7FFF)
