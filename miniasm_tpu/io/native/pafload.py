@@ -349,24 +349,57 @@ def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
                           n_workers, block_bytes)
     if not res:
         raise FileNotFoundError(2, "could not open PAF file", fn)
-    # piece sizes double up to 4*_MT_CHUNK: per-device_put overhead is
-    # ~50 ms on the tunnel, so long streams want few big pieces, while
-    # small inputs keep fine cap granularity (kernel cost ∝ cap)
+    # Piece schedule: device_put costs ~50 ms fixed on the tunnel, so the
+    # bulk of a long stream rides 4*_MT_CHUNK pieces; the TAIL drops back
+    # to _MT_CHUNK pieces so the zero-padding (kernel cost ∝ cap) stays
+    # <= _MT_CHUNK.  The record-count estimate is a deliberate UNDER-
+    # estimate from the file size (PAF lines are ~70-90 B; gz assumes 4x),
+    # so the big pieces never overshoot the stream.
+    import os as _os
+
+    try:
+        fsz = _os.path.getsize(fn) if fn != "-" else 0
+    except OSError:
+        fsz = 0
+    if fn.endswith(".gz"):
+        fsz *= 4
+    est = fsz // 100
+    # uploader thread: device_put's synchronous staging copy overlaps the
+    # C++ parse (ma_mt_next releases the GIL)
+    import queue as _queue
+    import threading as _threading
+
     pieces = []
+    upq: "_queue.Queue" = _queue.Queue(maxsize=2)
+
+    def _uploader():
+        while True:
+            item = upq.get()
+            if item is None:
+                return
+            pieces.append(jax.device_put(item) if upload else item)
+
+    up_thread = _threading.Thread(target=_uploader)
+    up_thread.start()
     cap = 0
-    k = 0
-    while True:
-        sz = _MT_CHUNK * min(4, 1 << (k // 2))
-        k += 1
-        buf = np.empty((7, sz), dtype=np.int32)
-        n = lib.ma_mt_next(
-            res, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), sz)
-        if n == 0 and pieces:
-            break
-        pieces.append(jax.device_put(buf) if upload else buf)
-        cap += sz
-        if n < sz:
-            break
+    n_pieces = 0
+    try:
+        while True:
+            big = cap + 4 * _MT_CHUNK <= est
+            sz = 4 * _MT_CHUNK if big else _MT_CHUNK
+            buf = np.empty((7, sz), dtype=np.int32)
+            n = lib.ma_mt_next(
+                res, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), sz)
+            if n == 0 and n_pieces:
+                break
+            upq.put(buf)
+            n_pieces += 1
+            cap += sz
+            if n < sz:
+                break
+    finally:
+        upq.put(None)
+        up_thread.join()
     if not upload:
         colmat_dev = (pieces[0] if len(pieces) == 1
                       else np.concatenate(pieces, axis=1))
