@@ -45,6 +45,15 @@ def _next_pow2(x: int) -> int:
     return n
 
 
+def _round_up(x: int, quantum: int = 65536) -> int:
+    """Pad a per-shard capacity to a fixed quantum.  A pow2 round-up wastes
+    up to 2x rows (pure overhead the efficiency target prices directly);
+    a 64K quantum keeps lane alignment and caps waste at one quantum."""
+    if x <= quantum:
+        return _next_pow2(max(x, 1))
+    return -(-x // quantum) * quantum
+
+
 def _load_originals(paf_fn, opt, excl):
     """Host load of the unmirrored originals: (8, n) int32 rows in parse
     order (gid row = 2*j so mirrors can use 2*j+1), the SeqDict, and the
@@ -121,7 +130,7 @@ def _partition(cols, n_seq, n_shards):
     owner = cols[0] // block
     per = max(int(np.bincount(owner, minlength=n_shards).max()) if cols.shape[1]
               else 1, 1)
-    per = _next_pow2(per)
+    per = _round_up(per)
     out = np.zeros((HIT_ROWS, n_shards * per), dtype=np.int32)
     for k in range(n_shards):
         sel = owner == k
@@ -134,7 +143,7 @@ def _partition(cols, n_seq, n_shards):
     hist = np.zeros((n_shards, n_shards), dtype=np.int64)
     np.add.at(hist, (owner[not_self], dst[not_self]), 1)
     cap = int(hist.max()) if hist.size else 1
-    cap = _next_pow2(max(cap, 1))
+    cap = _round_up(max(cap, 1))
     return out, per, block, cap
 
 
@@ -399,7 +408,7 @@ def run_sharded(paf_fn, opt: Opt, mesh, *, outfmt: str = "ug",
     # most TWO arcs (its own orientation + the implied mirror; hit2arc
     # returns one arc or a non-arc code per side, miniasm.h:86-104), so
     # arc_cap >= 2*per can never drop arcs
-    arc_cap = _next_pow2(2 * per)
+    arc_cap = 2 * per
 
     gmat = jax.device_put(hostmat, NamedSharding(mesh, P(None, "r")))
     step = _make_select_step(mesh, n_seq, n_seq_cap, opt, per=per,
