@@ -104,7 +104,10 @@ def count_overlaps(paf, min_span=2000, min_match=100):
     return n
 
 
-def bench_config(genome_len, coverage, exe, *, ours_reps=2, ref_reps=2):
+def bench_config(genome_len, coverage, exe, *, ours_reps=3, ref_reps=2):
+    # ours_reps=3: the tunnel-attached TPU's throughput varies between
+    # sessions (measured 2-4x swings on identical cached executables);
+    # min-of-3 warm runs is cheap insurance against a slow period
     paf = prepare_data(genome_len, coverage)
     cold, _ = run_ours(paf)
     runs = [run_ours(paf) for _ in range(ours_reps)]
@@ -163,7 +166,8 @@ def main():
         signal.alarm(0)
         signal.signal(signal.SIGALRM, old)
 
-    out = {"metric": "paf_to_gfa_wall", "unit": "s"}
+    out = {"metric": "paf_to_gfa_wall", "unit": "s",
+           "host_cpus": os.cpu_count()}
     if big is not None:
         out.update(big)
         out["ecoli"] = {k: small[k] for k in

@@ -71,7 +71,11 @@ def measure(paf_fn: str, n_devices_list, *, repeats: int = 3) -> dict:
 def main(argv):
     import os
 
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # the virtual mesh needs the CPU platform regardless of the ambient
+    # JAX_PLATFORMS (this box force-pins a 1-chip TPU plugin there);
+    # MINIASM_TPU_PLATFORM remains the explicit override
+    os.environ["JAX_PLATFORMS"] = (os.environ.get("MINIASM_TPU_PLATFORM")
+                                   or "cpu")
     ns = [int(a) for a in argv[1:]] or [1, 2, 4, 8]
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
@@ -80,9 +84,7 @@ def main(argv):
                                    % max(ns)).strip()
     import jax
 
-    jax.config.update("jax_platforms",
-                      os.environ.get("MINIASM_TPU_PLATFORM")
-                      or os.environ["JAX_PLATFORMS"])
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     paf = os.environ.get("SCALING_PAF")
     tmp = None

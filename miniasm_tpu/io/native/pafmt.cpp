@@ -32,6 +32,11 @@
 //   - read length is recorded at a name's first surviving appearance.
 
 #include <zlib.h>
+#ifdef __linux__
+#include <sys/resource.h>
+#include <sys/syscall.h>
+#include <unistd.h>
+#endif
 
 #include <atomic>
 #include <condition_variable>
@@ -568,10 +573,20 @@ void ma_mt_rank(MtState* st) {
     for (int64_t p = 0; p < m; ++p) st->rank[src[p]] = p;
 }
 
-// start the rank build on a detached-side thread (second core) so it
-// overlaps the device dispatch + fetch; ma_mt_rank_wait joins it.
+// start the rank build on a detached-side thread so it overlaps the
+// device dispatch + fetch; ma_mt_rank_wait joins it.  The thread (and
+// the sort workers it spawns — nice is inherited on thread creation)
+// runs at low priority: the tunnel/device client needs CPU to service
+// the execution stream, and on a 2-core host a full-speed sort visibly
+// slows the concurrently-running device fetch.
 void ma_mt_rank_async(MtState* st) {
-    st->threads.emplace_back(ma_mt_rank, st);
+    st->threads.emplace_back([st] {
+#ifdef __linux__
+        setpriority(PRIO_PROCESS, static_cast<id_t>(syscall(SYS_gettid)),
+                    10);
+#endif
+        ma_mt_rank(st);
+    });
 }
 
 void ma_mt_rank_wait(MtState* st) {

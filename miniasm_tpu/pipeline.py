@@ -143,6 +143,7 @@ def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir):
     timing = os.environ.get("MINIASM_TPU_TIMING")
     t0 = time.time()
     LAST_TIMING.clear()
+    _tick_t0["t0"] = t0
 
     def tick(name):
         LAST_TIMING[name] = round(time.time() - t0, 3)
@@ -186,6 +187,7 @@ def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir):
     order = np.argsort(h3.arc_ranks(arcs["idx"]), kind="stable")
     arcs = {k: arcs[k][order] for k in ("u", "l", "v", "ol")}
     h3.free()
+    tick("order")
 
     g, sub_s, sub_e, sub_del = graph_from_arcs(
         d, md["sub_s"], md["sub_e"], md["sub_del"], md["cont"],
@@ -195,6 +197,19 @@ def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir):
               sub_s, sub_e, sub_del, prebuilt=g)
     tick("emit_done")
     return r
+
+
+def _tick(name):
+    """Cumulative stage tick into LAST_TIMING (bench.py's breakdown);
+    only active when a _run_fast_v2 run initialized the clock."""
+    import time
+
+    t0 = _tick_t0.get("t0")
+    if t0 is not None:
+        LAST_TIMING[name] = round(time.time() - t0, 3)
+
+
+_tick_t0: dict = {}
 
 
 def _emit(paf_fn, opt, outfmt, fn_reads, stage, out, d, hits,
@@ -230,12 +245,16 @@ def _emit(paf_fn, opt, outfmt, fn_reads, stage, out, d, hits,
         from .graph.hybrid import clean_graph
 
         g = clean_graph(g, opt, stage, mesh=mesh)
+        _tick("clean")
         if outfmt == "ug":
             sys.stderr.write("[M::main] ===> Step 5: generating unitigs <===\n")
             ug = ug_gen(g)
+            _tick("unitig")
             if fn_reads:
                 ug_seq(ug, d, sub_s, sub_e, fn_reads)
+                _tick("seq")
             ug_print(ug, d, sub_s, sub_e, out)
+            _tick("print")
             return ug
         sg_print(g, d, sub_s, sub_e, out)
         return g

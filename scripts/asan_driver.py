@@ -77,6 +77,14 @@ rng = np.random.default_rng(0)
 keys = rng.integers(0, 2**63, 100_000, dtype=np.uint64)
 perm = radix_argsort(keys.copy())
 assert np.all(np.diff(keys[perm].astype(np.uint64)) >= 0)
+# >= 1<<20 elements takes the multi-threaded bucket path; tie-heavy keys
+# (hit-shaped: ~60 records per qid) exercise the insertion-sort leaves
+qid = np.repeat(np.arange(25_000, dtype=np.uint64), 60)
+qs = rng.integers(0, 32768, qid.shape[0], dtype=np.uint64)
+keys = (qid << np.uint64(32)) | qs
+rng.shuffle(keys)
+perm = radix_argsort(keys.copy())
+assert np.all(np.diff(keys[perm].astype(np.uint64)) >= 0)
 
 # --- finalize oracle (cleaning passes + unitig walk) on pure-numpy
 # graphs: a ground-truth chain built from the simulator's read layout
