@@ -228,6 +228,31 @@ def _concat_jit(*pieces):
     return _concat_jit._fn(*pieces)
 
 
+def _unpack4_jit(piece):
+    """Device-side unpack of a 4-row packed piece to the 7-row layout
+    (rare fallback: only when a late record in the stream failed to pack,
+    forcing the whole colmat to the 7-row format)."""
+    import jax
+
+    if not hasattr(_unpack4_jit, "_fn"):
+        import jax.numpy as jnp
+
+        def _f(p):
+            w0 = p[0].astype(jnp.uint32)
+            qsqe = p[2].astype(jnp.uint32)
+            tste = p[3].astype(jnp.uint32)
+            i32 = jnp.int32
+            return jnp.stack([
+                (w0 & jnp.uint32(0x0FFFFFFF)).astype(i32),
+                (qsqe >> 16).astype(i32), (qsqe & 0xFFFF).astype(i32),
+                p[1],
+                (tste >> 16).astype(i32), (tste & 0xFFFF).astype(i32),
+                (w0 >> 28).astype(i32)])
+
+        _unpack4_jit._fn = jax.jit(_f)
+    return _unpack4_jit._fn(piece)
+
+
 class HitsMt:
     """Handle over the pipelined multi-threaded loader (pafmt.cpp).
     API-compatible with HitsV2 for the v2 select path."""
@@ -327,6 +352,10 @@ def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
     lib.ma_mt_next.argtypes = [ctypes.c_void_p,
                                ctypes.POINTER(ctypes.c_int32),
                                ctypes.c_int64]
+    lib.ma_mt_next4.restype = ctypes.c_int64
+    lib.ma_mt_next4.argtypes = lib.ma_mt_next.argtypes
+    lib.ma_mt_pack_failed.restype = ctypes.c_int
+    lib.ma_mt_pack_failed.argtypes = [ctypes.c_void_p]
     lib.ma_mt_info.argtypes = [ctypes.c_void_p, ctypes.POINTER(_MaMtInfo)]
     lib.ma_mt_names.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.ma_mt_seq_len.argtypes = [ctypes.c_void_p,
@@ -383,19 +412,33 @@ def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
     up_thread.start()
     cap = 0
     n_pieces = 0
+    # pack the H2D transfer 4 rows/record while every record's coordinates
+    # fit 16 bits (the overwhelmingly common case); on the first that
+    # doesn't, the C++ side flags it and the stream falls back to 7-row
+    # pieces (the packed pieces already uploaded get unpacked on device)
+    use4 = upload
+    mixed = False
     try:
         while True:
             big = cap + 4 * _MT_CHUNK <= est
             sz = 4 * _MT_CHUNK if big else _MT_CHUNK
-            buf = np.empty((7, sz), dtype=np.int32)
-            n = lib.ma_mt_next(
+            rows = 4 if use4 else 7
+            buf = np.empty((rows, sz), dtype=np.int32)
+            fn_next = lib.ma_mt_next4 if use4 else lib.ma_mt_next
+            n = fn_next(
                 res, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), sz)
-            if n == 0 and n_pieces:
+            switched = use4 and bool(lib.ma_mt_pack_failed(res))
+            if switched:
+                use4 = False
+                mixed = True
+                if n == 0:
+                    continue  # stream not done; re-read this piece 7-row
+            elif n == 0 and n_pieces:
                 break
             upq.put(buf)
             n_pieces += 1
             cap += sz
-            if n < sz:
+            if n < sz and not switched:
                 break
     finally:
         upq.put(None)
@@ -403,6 +446,9 @@ def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
     if not upload:
         colmat_dev = (pieces[0] if len(pieces) == 1
                       else np.concatenate(pieces, axis=1))
+    elif mixed:
+        pieces = [_unpack4_jit(p) if p.shape[0] == 4 else p for p in pieces]
+        colmat_dev = pieces[0] if len(pieces) == 1 else _concat_jit(*pieces)
     else:
         colmat_dev = pieces[0] if len(pieces) == 1 else _concat_jit(*pieces)
     h = HitsMt(lib, res, cap=cap)

@@ -259,8 +259,10 @@ def _make_select_step(mesh, n_seq, n_seq_cap, opt, *, per, block, cap,
                          .at[jnp.where(vq, qid, T)].set(vq, mode="drop")
                          .at[jnp.where(rpres, rtid, T)].set(rpres,
                                                             mode="drop"))
+            # tr_cap defaults to the event count — always safe, so the
+            # sharded step never needs the overflow retry
             return sweep_events(seg, key, has_query, T, opt.min_dp,
-                                end_clip, False)
+                                end_clip, False)[:5]
 
         # ---- Step 2: crude sweep + cut (main.c:122-125) ----
         s1, e1, d1, _, n_rem1 = sweep(qs, qe, ts, te, vq, vm, 0)

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.hit2arc import hit2arc, MA_HT_QCONT, MA_HT_TCONT
-from ..utils.scan import ffill, seg_reduce_argmax
+from ..utils.scan import seg_reduce_argmax
 
 I32 = jnp.int32
 BIG = jnp.int32(2**31 - 1)
@@ -79,27 +79,24 @@ def _unpack_tab(words, idx, pack_se: bool):
 
 
 def _sub_pass(qid, tid, cqs, cqe, cts, cte, vq, vm, iden, not_self,
-              T: int, min_dp: int, end_clip: int, pack15: bool = False):
+              T: int, min_dp: int, end_clip: int, pack15: bool = False,
+              tr_cap: int | None = None):
     """Coverage sweep over the 4 events per original (ma_hit_sub,
-    hit.c:109-160).  Returns (s, e, del, has_query, n_remained) with
-    tables of length T (slot T-1 is never a real read).
+    hit.c:109-160).  Returns (s, e, del, has_query, n_remained, n_tr)
+    with tables of length T (slot T-1 is never a real read).
 
-    TPU cost notes (measured on v5e, 11.3M events): gathers and scatter
-    reductions price ~8.7 ns per SOURCE index, searchsorted ~5 ns/elem,
-    sorts ~1.7 ns/elem/key, cumulative ops and elementwise ~free.  The
-    pass therefore spends one 2-key sort, one cummax+gather (ffill), and
-    — when coordinates fit 15 bits (pack15) — a single packed segment_min
-    that yields the winning interval's (length, start) in one reduction:
-    the reference keeps the FIRST longest region (`len > max.e - max.s`,
-    hit.c:142); end-transition positions are strictly increasing within a
-    segment, so "first row attaining the max" == "smallest end pos" ==
-    "smallest start pos" (start = end - len), and the lexicographic min of
-    (neg_len<<15 | start_pos) picks it exactly.  has_query comes from two
-    N-source scatters instead of a 4N searchsorted.  The per-segment depth
+    TPU cost notes (measured on v5e at 56.6M events): gathers price
+    ~20 ns per OUTPUT element at this size (a 56.6M forward-fill gather
+    alone is 1.25 s), scatter reductions ~8 ns/source, sorts ~4.5 ns/elem
+    for 2 keys, cumulative ops and elementwise ~free.  The pass therefore
+    avoids all full-size gathers/scatters: one 2-key event sort, a depth
+    cumsum, then a SECOND sort that compacts the few depth transitions to
+    the front (see sweep_events), after which all segment logic runs at
+    transition scale (~2 per read).  has_query comes from one
+    searchsorted over the sorted seg column (~30 us for 524K queries)
+    instead of two N-source scatters (~250 ms).  The per-segment depth
     rebase is free: every ok side contributes a (+1,-1) pair, so segment
     sums are zero and the global cumsum IS the segment-local depth."""
-    n = qid.shape[0]
-    n4 = 4 * n
     segpad = jnp.int32(T)
 
     okq = vq & not_self & iden
@@ -120,21 +117,43 @@ def _sub_pass(qid, tid, cqs, cqe, cts, cte, vq, vm, iden, not_self,
 
     # presence == has_query: a read keeps its table entry whenever any of
     # its rows' sides is valid, even when all its events are skipped (self
-    # matches / identity failures), matching the del=1 rule of hit.c:115,152
-    has_query = (jnp.zeros(T, bool)
-                 .at[jnp.minimum(jnp.where(vq, qid, T - 1), T - 1)].set(vq)
-                 .at[jnp.minimum(jnp.where(vm, tid, T - 1), T - 1)].set(vm))
-    return sweep_events(seg, key, has_query, T, min_dp, end_clip, pack15)
+    # matches / identity failures), matching the del=1 rule of hit.c:115,152;
+    # computed from the sorted seg column inside sweep_events (has_query=None)
+    return sweep_events(seg, key, None, T, min_dp, end_clip, pack15,
+                        tr_cap=tr_cap)
 
 
 def sweep_events(seg, key, has_query, T: int, min_dp: int, end_clip: int,
-                 pack15: bool):
+                 pack15: bool, tr_cap: int | None = None):
     """Core of the coverage sweep over a prebuilt (seg, key) event array
     (key = clipped_pos*2 | is_end, BIG = skipped).  Split out so the
     sharded step (parallel/full.py) can feed locally-built + exchanged
-    event sets through the identical computation."""
+    event sets through the identical computation.
+
+    Returns (s, e, del, has_query, n_rem, n_tr).  n_tr is the true number
+    of depth transitions; results are only valid when n_tr <= tr_cap (the
+    caller re-runs with a bigger cap otherwise — see select_build2).
+    has_query=None computes presence from the sorted events (valid rows
+    keep their real seg id even when their event key is BIG).
+
+    Depth transitions alternate start/end GLOBALLY in the sorted event
+    order: within a segment the depth enters and leaves at 0 < min_dp, so
+    crossings alternate up/down beginning with an up, and segments are
+    contiguous — hence after compacting the transitions to the front with
+    one more sort, each end-transition's paired start is simply the
+    previous compacted element.  This replaces the forward-fill gather
+    and the full-size segment_min of the earlier design (1.25 s + 0.5 s
+    at 56.6M events) with a ~0.25 s sort plus transition-scale ops."""
     n4 = seg.shape[0]
+    if tr_cap is None:
+        tr_cap = n4  # always safe: one crossing consumes one event
+    tr_cap = min(tr_cap, n4)
     seg, key = jax.lax.sort([seg, key], num_keys=2)
+
+    if has_query is None:
+        # seg is sorted: presence == the segment is non-empty
+        b = jnp.searchsorted(seg, jnp.arange(T + 1, dtype=I32))
+        has_query = b[1:] > b[:-1]
 
     valid_ev = key != BIG
     is_end = (key & 1) == 1
@@ -144,36 +163,52 @@ def sweep_events(seg, key, has_query, T: int, min_dp: int, end_clip: int,
 
     is_start_tr = valid_ev & (old_depth < min_dp) & (depth >= min_dp)
     is_end_tr = valid_ev & (old_depth >= min_dp) & (depth < min_dp)
+    tr = is_start_tr | is_end_tr
+    n_tr = jnp.sum(tr)
 
-    pos = (key >> 1).astype(I32)
-    # every end-transition pairs with the most recent start-transition, which
-    # is in its own segment (depth enters and leaves each segment at 0)
-    start_pos = ffill(is_start_tr, pos)
+    # compact the transitions to the front, preserving order: one 1-key
+    # sort carrying (seg, key) as payload
+    tkey = jnp.where(tr, jnp.arange(n4, dtype=I32), BIG)
+    _, seg_c, key_c = jax.lax.sort([tkey, seg, key], num_keys=1)
+    seg_c = seg_c[:tr_cap]
+    key_c = key_c[:tr_cap]
+    okc = jnp.arange(tr_cap, dtype=I32) < n_tr
+    pos_c = (key_c >> 1).astype(I32)
+    is_end_c = (key_c & 1) == 1
+    # each end-transition's paired start is the previous compacted element
+    start_c = jnp.concatenate([jnp.zeros(1, I32), pos_c[:-1]])
+    end_rows = okc & is_end_c
+    seg_cm = jnp.where(okc, jnp.minimum(seg_c, T), T)
 
     if pack15:
         NEG = jnp.int32(0x7FFF)
-        length15 = jnp.minimum(pos - start_pos, NEG)
-        packed = jnp.where(is_end_tr & (length15 > 0),
-                           ((NEG - length15) << 15) | start_pos, BIG)
-        w = jax.ops.segment_min(packed, seg, num_segments=T + 1)[:T]
+        length15 = jnp.minimum(pos_c - start_c, NEG)
+        # the reference keeps the FIRST longest region (`len > max.e -
+        # max.s`, hit.c:142); end positions are strictly increasing within
+        # a segment, so "first row attaining the max" == "smallest end"
+        # == "smallest start" (start = end - len), and the lexicographic
+        # min of (neg_len<<15 | start_pos) picks it exactly
+        packed = jnp.where(end_rows & (length15 > 0),
+                           ((NEG - length15) << 15) | start_c, BIG)
+        w = jax.ops.segment_min(packed, seg_cm, num_segments=T + 1)[:T]
         has_region = has_query & (w != BIG)
         seg_maxlen = jnp.where(has_region, NEG - (w >> 15), -1)
         s_tab = jnp.where(has_region, w & NEG, 0)
         e_tab = jnp.where(has_region, s_tab + seg_maxlen, 0)
     else:
-        length = jnp.where(is_end_tr, pos - start_pos, -1)
-        bl_seg, wi_seg = seg_reduce_argmax(seg, length, T + 1)
+        length = jnp.where(end_rows, pos_c - start_c, -1)
+        bl_seg, wi_seg = seg_reduce_argmax(seg_cm, length, T + 1)
         seg_maxlen = jnp.where(has_query, jnp.maximum(bl_seg[:T], -1), -1)
-        widx = jnp.minimum(jnp.where(has_query, wi_seg[:T], 0), n4 - 1)
+        widx = jnp.minimum(jnp.where(has_query, wi_seg[:T], 0), tr_cap - 1)
         has_region = has_query & (seg_maxlen > 0)
-        s_tab = jnp.where(has_region, start_pos[widx], 0)
-        e_tab = jnp.where(has_region, pos[widx], 0)
+        s_tab = jnp.where(has_region, start_c[widx], 0)
+        e_tab = jnp.where(has_region, pos_c[widx], 0)
 
     s = jnp.where(has_region, s_tab - end_clip, 0)
     e = jnp.where(has_region, e_tab + end_clip, 0)
     dele = has_query & ~has_region
     n_rem = jnp.sum(has_region)
-    return s, e, dele, has_query, n_rem
+    return s, e, dele, has_query, n_rem, n_tr
 
 
 def _cut_pass(qid, tid, cqs, cqe, cts, cte, rev, words, pack_se: bool,
@@ -225,16 +260,32 @@ def _cut_pass(qid, tid, cqs, cqe, cts, cte, rev, words, pack_se: bool,
 
 @functools.partial(jax.jit, static_argnames=(
     "n_seq_cap", "min_span", "min_dp", "max_hang", "int_frac", "min_ovlp",
-    "bi_dir", "pack_se", "arc_cap", "pack_io", "pack15"))
+    "bi_dir", "pack_se", "arc_cap", "pack_io", "pack15", "tr_cap"))
 def _select2_kernel(colmat, *, n_seq_cap, min_span, min_dp, max_hang,
                     int_frac, min_ovlp, bi_dir, pack_se, arc_cap, pack_io,
-                    pack15):
-    """colmat: (7, N) int32 or uint16 originals [qid qs qe tid ts te flags],
-    flags bit0=valid bit1=rev bit2=iden_ok; padding rows have
-    qid=n_seq_cap+1, flags=0.  pack_io (coordinates < 65535 AND
-    n_seq_cap <= 32768, so vertices fit u16 too) packs the fetched arc and
-    meta rows two-per-word to halve the D2H transfer."""
-    qid, qs, qe, tid, ts, te, fl = [colmat[i].astype(I32) for i in range(7)]
+                    pack15, tr_cap):
+    """colmat: (7, N) int32 originals [qid qs qe tid ts te flags], or the
+    H2D-packed (4, N) layout [qid|flags<<28, tid, qs<<16|qe, ts<<16|te]
+    (43% fewer tunnel bytes; the native loader emits it whenever every
+    record's coordinates fit 16 bits).  flags bit0=valid bit1=rev
+    bit2=iden_ok; padding rows are all-zero (flags=0 -> inert).  pack_io
+    (coordinates < 65535 AND n_seq_cap <= 32768, so vertices fit u16 too)
+    packs the fetched arc and meta rows two-per-word to halve the D2H
+    transfer."""
+    if colmat.shape[0] == 4:
+        w0 = colmat[0].astype(jnp.uint32)
+        qid = (w0 & jnp.uint32(0x0FFFFFFF)).astype(I32)
+        fl = (w0 >> 28).astype(I32)
+        tid = colmat[1].astype(I32)
+        qsqe = colmat[2].astype(jnp.uint32)
+        tste = colmat[3].astype(jnp.uint32)
+        qs = (qsqe >> 16).astype(I32)
+        qe = (qsqe & 0xFFFF).astype(I32)
+        ts = (tste >> 16).astype(I32)
+        te = (tste & 0xFFFF).astype(I32)
+    else:
+        qid, qs, qe, tid, ts, te, fl = [colmat[i].astype(I32)
+                                        for i in range(7)]
     T = n_seq_cap + 2
     valid0 = (fl & 1) != 0
     rev = (fl >> 1) & 1
@@ -245,8 +296,9 @@ def _select2_kernel(colmat, *, n_seq_cap, min_span, min_dp, max_hang,
     vm = valid0 & not_self if bi_dir else jnp.zeros_like(valid0)
 
     # --- Step 2: crude sweep, end_clip=0 (main.c:122) + cut ---
-    s1, e1, d1, _, n_rem1 = _sub_pass(qid, tid, qs, qe, ts, te, vq, vm,
-                                      iden, not_self, T, min_dp, 0, pack15)
+    s1, e1, d1, _, n_rem1, n_tr1 = _sub_pass(qid, tid, qs, qe, ts, te, vq,
+                                             vm, iden, not_self, T, min_dp,
+                                             0, pack15, tr_cap)
     w1 = _pack_tab(s1, e1, d1, pack_se)
     keep, qs, qe, ts, te, slq, slt = _cut_pass(qid, tid, qs, qe, ts, te,
                                                rev, w1, pack_se, min_span)
@@ -286,9 +338,9 @@ def _select2_kernel(colmat, *, n_seq_cap, min_span, min_dp, max_hang,
     # --- Step 3: fine sweep, end_clip=min_span/2 (main.c:132) + cut ---
     # its has_query table == "read kept a hit after the filter", which is
     # exactly the hit_flt coverage denominator set
-    s2, e2, d2, has_flt, n_rem2 = _sub_pass(qid, tid, qs, qe, ts, te, vq,
-                                            vm, iden, not_self, T, min_dp,
-                                            min_span // 2, pack15)
+    s2, e2, d2, has_flt, n_rem2, n_tr2 = _sub_pass(
+        qid, tid, qs, qe, ts, te, vq, vm, iden, not_self, T, min_dp,
+        min_span // 2, pack15, tr_cap)
     sl1 = e1 - s1
     len_lo = jnp.sum(jnp.where(has_flt, sl1 & 1023, 0))
     len_hi = jnp.sum(jnp.where(has_flt, sl1 >> 10, 0))
@@ -371,7 +423,8 @@ def _select2_kernel(colmat, *, n_seq_cap, min_span, min_dp, max_hang,
     else:
         meta = jnp.stack([ms, me, flags])[:, :n_seq_cap + 1]
     counts = jnp.stack([n_rem1, n_cut1, n_flt, n_rem2, n_cut2,
-                        m_contained, n_arc, dp_lo, dp_hi, len_lo, len_hi])
+                        m_contained, n_arc, dp_lo, dp_hi, len_lo, len_hi,
+                        n_tr1, n_tr2])
     return arcmat, meta, counts
 
 
@@ -395,6 +448,10 @@ def select_build2(colmat_dev, d, opt, *, bi_dir: bool, max_len: int,
     pack_io = pack_se and n_seq_cap <= 32768
     cap = colmat_dev.shape[1]
     arc_cap = min(_next_pow2(max(65536, 4 * n_seq_cap)), 2 * _next_pow2(cap))
+    # transitions ~= 2 per surviving read (one region each); 4x the read
+    # capacity covers fragmented coverage profiles, with a doubling retry
+    # (validated via counts[11:13]) for pathological inputs
+    tr_cap = min(_next_pow2(max(1 << 17, 4 * n_seq_cap)), 4 * cap)
     dispatched = False
     while True:
         arcmat, meta, counts = _select2_kernel(
@@ -402,15 +459,19 @@ def select_build2(colmat_dev, d, opt, *, bi_dir: bool, max_len: int,
             min_dp=opt.min_dp, max_hang=opt.max_hang,
             int_frac=float(opt.int_frac), min_ovlp=opt.min_ovlp,
             bi_dir=bi_dir, pack_se=pack_se, arc_cap=arc_cap, pack_io=pack_io,
-            pack15=pack15)
+            pack15=pack15, tr_cap=tr_cap)
         if not dispatched and on_dispatch is not None:
             on_dispatch()
             dispatched = True
         counts = jax.device_get(counts)
         n_arc = int(counts[6])
-        if n_arc <= arc_cap:
+        n_tr = max(int(counts[11]), int(counts[12]))
+        if n_arc <= arc_cap and n_tr <= tr_cap:
             break
-        arc_cap = _next_pow2(n_arc)
+        if n_arc > arc_cap:
+            arc_cap = _next_pow2(n_arc)
+        if n_tr > tr_cap:
+            tr_cap = min(_next_pow2(n_tr), 4 * cap)
     # fetch only the filled arc slots (rounded up to a 64K bucket so the
     # tiny slice op compiles once per bucket): the tunnel moves ~34 MB/s
     # D2H, so skipping the empty tail of arcmat is worth more than the
