@@ -63,11 +63,12 @@ def prepare_data(genome_len, coverage, seed=11):
 def run_ours(paf):
     from miniasm_tpu import pipeline
     from miniasm_tpu.config import Opt
+    from miniasm_tpu.utils import timers
 
     t0 = time.time()
     with open(os.devnull, "w") as devnull:
         pipeline.run(paf, Opt(), outfmt="ug", out=devnull)
-    return time.time() - t0, dict(pipeline.LAST_TIMING)
+    return time.time() - t0, dict(pipeline.LAST_TIMING), dict(timers.EXTRA)
 
 
 def run_ref(exe, paf):
@@ -109,10 +110,12 @@ def bench_config(genome_len, coverage, exe, *, ours_reps=3, ref_reps=2):
     # sessions (measured 2-4x swings on identical cached executables);
     # min-of-3 warm runs is cheap insurance against a slow period
     paf = prepare_data(genome_len, coverage)
-    cold, _ = run_ours(paf)
+    cold, _, _ = run_ours(paf)
     runs = [run_ours(paf) for _ in range(ours_reps)]
-    ours = min(t for t, _ in runs)
-    stages_cum = min(runs, key=lambda r: r[0])[1]
+    ours = min(t for t, _, _ in runs)
+    best = min(runs, key=lambda r: r[0])
+    stages_cum = best[1]
+    substages = best[2]
     # cumulative ticks -> per-stage durations
     stages = {}
     prev = 0.0
@@ -129,8 +132,8 @@ def bench_config(genome_len, coverage, exe, *, ours_reps=3, ref_reps=2):
             "overlaps": n_ovlp,
             "overlaps_per_s": round(n_ovlp / ours) if ours else 0,
             "ref_s": round(ref, 3), "cold_s": round(cold, 3),
-            "stages": stages, "genome_len": genome_len,
-            "coverage": coverage}
+            "stages": stages, "substages": substages,
+            "genome_len": genome_len, "coverage": coverage}
 
 
 def main():
@@ -172,7 +175,7 @@ def main():
         out.update(big)
         out["ecoli"] = {k: small[k] for k in
                         ("value", "vs_baseline", "ref_s", "overlaps",
-                         "overlaps_per_s", "cold_s", "stages")}
+                         "overlaps_per_s", "cold_s", "stages", "substages")}
     else:
         out.update(small)
         out["big_config_timed_out_s"] = budget

@@ -285,9 +285,15 @@ def pop_bubbles_dev(g: Graph, cand_mask, max_dist: int) -> int:
     cands = [int(v) for v in np.flatnonzero(cand_mask)]
     if not cands:
         return 0
+    import time as _time
+
+    from ..utils.timers import add_extra
+
+    t0 = _time.time()
     n_pop = 0
     n_tip = 0
     ok, nb, ntip, sink, vis, par, _K = _dispatch(g, cands, max_dist, 64)
+    add_extra("clean.bubble_s", _time.time() - t0)
     touched = np.zeros(g.n_vtx, bool)
     any_commit = False
     for j, v0 in enumerate(cands):

@@ -301,6 +301,11 @@ def detect(g: Graph, opt, *, do_trans: bool, do_symm: bool = True,
     With a mesh, the kernel's inputs are replicated and its vertex tables
     form on device; the same jitted kernel runs SPMD with XLA inserting
     the collectives for the cross-row neighbor reads."""
+    import time as _time
+
+    from ..utils.timers import add_extra
+
+    t0 = _time.time()
     au, al, av, aol, sdel_v, V, Vp, Dp, Ap = build_arcs(g)
     ratios = _ratio_schedule(opt)
     n_chunks = 1
@@ -330,6 +335,8 @@ def detect(g: Graph, opt, *, do_trans: bool, do_symm: bool = True,
         max_ext=int(opt.max_ext), do_trans=do_trans, do_symm=do_symm,
         row_sharding=row_sharding)
     bits, cands, counters = jax.device_get((bits, cands, counters))
+    add_extra("clean.detect_s", _time.time() - t0)
+    add_extra("clean.detect_n", 1)
     # unpack the 4-slots-per-int32-lane wire format (little-endian bytes)
     if 3 + len(ratios) <= 8 and Dp % 4 == 0:
         bits = np.ascontiguousarray(bits).view(np.uint8).reshape(Vp, Dp)

@@ -140,9 +140,12 @@ def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir):
     from .select.fused2 import select_build2
     from .graph.asg import graph_from_arcs
 
+    from .utils import timers
+
     timing = os.environ.get("MINIASM_TPU_TIMING")
     t0 = time.time()
     LAST_TIMING.clear()
+    timers.EXTRA.clear()
     _tick_t0["t0"] = t0
 
     def tick(name):
@@ -184,6 +187,9 @@ def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir):
 
     # restore the reference's arc insertion order (the exact ksort radix
     # permutation of the mirrored hit array) over the surviving arcs only
+    t_rank = time.time()
+    h3.build_rank()  # joins the async C++ sort thread
+    timers.add_extra("rank.join_s", time.time() - t_rank)
     order = np.argsort(h3.arc_ranks(arcs["idx"]), kind="stable")
     arcs = {k: arcs[k][order] for k in ("u", "l", "v", "ol")}
     h3.free()

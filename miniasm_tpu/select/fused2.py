@@ -440,7 +440,13 @@ def select_build2(colmat_dev, d, opt, *, bi_dir: bool, max_len: int,
     """Run the dual-sided kernel; returns (arcs dict with idx, meta dict,
     counts list).  `on_dispatch`, when given, is called after the kernel is
     dispatched and before the blocking fetch (the native loader uses it to
-    build the exact-radix rank table on the CPU while the device works)."""
+    build the exact-radix rank table on the CPU while the device works).
+    Records device-vs-transfer attribution into utils.timers.EXTRA:
+    select.kernel_s (dispatch -> counts on host, i.e. device compute +
+    queue) and select.fetch_s (arc+meta D2H)."""
+    import time as _time
+
+    from ..utils.timers import add_extra
     n_seq = d.n_seq
     n_seq_cap = _next_pow2(max(n_seq, 1))
     pack_se = bool(max_len < 65535)
@@ -453,6 +459,7 @@ def select_build2(colmat_dev, d, opt, *, bi_dir: bool, max_len: int,
     # (validated via counts[11:13]) for pathological inputs
     tr_cap = min(_next_pow2(max(1 << 17, 4 * n_seq_cap)), 4 * cap)
     dispatched = False
+    t0 = _time.time()
     while True:
         arcmat, meta, counts = _select2_kernel(
             colmat_dev, n_seq_cap=n_seq_cap, min_span=opt.min_span,
@@ -472,12 +479,15 @@ def select_build2(colmat_dev, d, opt, *, bi_dir: bool, max_len: int,
             arc_cap = _next_pow2(n_arc)
         if n_tr > tr_cap:
             tr_cap = min(_next_pow2(n_tr), 4 * cap)
+    add_extra("select.kernel_s", _time.time() - t0)
     # fetch only the filled arc slots (rounded up to a 64K bucket so the
     # tiny slice op compiles once per bucket): the tunnel moves ~34 MB/s
     # D2H, so skipping the empty tail of arcmat is worth more than the
     # extra slice dispatch
     fetch_cap = min(arc_cap, max(65536, -(-n_arc // 65536) * 65536))
+    t0 = _time.time()
     arcmat, meta = jax.device_get((arcmat[:, :fetch_cap], meta))
+    add_extra("select.fetch_s", _time.time() - t0)
     if pack_io:
         uv = arcmat[0, :n_arc].astype(np.uint32)
         lol = arcmat[1, :n_arc].astype(np.uint32)

@@ -37,6 +37,17 @@ def log(stage: str, msg: str, *args) -> None:
         sys.stderr.flush()
 
 
+# Fine-grained attribution accumulator (device-kernel vs transfer vs host
+# sub-costs inside a pipeline stage).  pipeline._run_fast_v2 clears it per
+# run; bench.py reports it as "substages".  Keys accumulate seconds except
+# *_n keys, which count events.
+EXTRA: dict = {}
+
+
+def add_extra(key: str, val: float) -> None:
+    EXTRA[key] = round(EXTRA.get(key, 0.0) + val, 4)
+
+
 def liftrlimit() -> None:
     """Lift the address-space rlimit (reference sys.c:24-31)."""
     try:
