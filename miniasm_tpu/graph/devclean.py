@@ -266,19 +266,24 @@ def _clean_kernel(au, al, av, aol, sdel_v, *, Vp, Dp, n_chunks,
     biloop_cand = mn_start & (ext_code == 2)
     bub_cand = not_sdel & (nlive >= 2)
 
-    # pack per-slot masks into one bitfield for a single fetch.  Word
-    # type stays int32 (sub-word D2H is pathological on this backend);
-    # with <= 8 bits per slot, four slots pack into each int32 lane so
-    # the transfer moves the same bytes a uint8 array would
+    # pack per-slot masks into one bitfield and COMPACT to arc order on
+    # device: the host only ever reads the bits of real arcs, and the
+    # (Vp, D) table is ~Vp*D/n_arc times larger than the arc list (a
+    # 16.8 MB vs 1 MB D2H at worm scale on a ~35 MB/s tunnel).  Word type
+    # stays int32 (sub-word D2H is pathological on this backend); with
+    # <= 8 bits per slot, four arcs pack into each int32 lane
     bits = (elim.astype(I32)
             | (multi.astype(I32) << 1)
             | (asymm.astype(I32) << 2))
     for k, m in enumerate(shorts):
         bits = bits | (m.astype(I32) << (3 + k))
-    if 3 + len(ratios) <= 8 and D % 4 == 0:
-        b4 = bits.reshape(Vp, D // 4, 4)
-        bits = (b4[:, :, 0] | (b4[:, :, 1] << 8) | (b4[:, :, 2] << 16)
-                | (b4[:, :, 3] << 24))
+    arc_bits = bits[jnp.minimum(au, Vp - 1),
+                    jnp.clip(slots, 0, D - 1)]  # padding arcs: garbage, cut
+    Ap = au.shape[0]
+    if 3 + len(ratios) <= 8 and Ap % 4 == 0:
+        a4 = arc_bits.reshape(Ap // 4, 4)
+        arc_bits = (a4[:, 0] | (a4[:, 1] << 8) | (a4[:, 2] << 16)
+                    | (a4[:, 3] << 24))
     cands = (tip_cand.astype(I32)
              | (internal_cand.astype(I32) << 1)
              | (biloop_cand.astype(I32) << 2)
@@ -289,7 +294,7 @@ def _clean_kernel(au, al, av, aol, sdel_v, *, Vp, Dp, n_chunks,
                  | (c4[:, 3] << 24))
     counters = jnp.stack([n_trans, n_multi, n_asymm]
                          + [jnp.sum(m) for m in shorts])
-    return bits, cands, counters
+    return arc_bits, cands, counters
 
 
 def detect(g: Graph, opt, *, do_trans: bool, do_symm: bool = True,
@@ -329,25 +334,24 @@ def detect(g: Graph, opt, *, do_trans: bool, do_symm: bool = True,
         rep = NamedSharding(mesh, P())
         tabs = [jax.device_put(np.asarray(t), rep) for t in tabs]
         row_sharding = NamedSharding(mesh, P(ax, None))
-    bits, cands, counters = _clean_kernel(
+    arc_bits, cands, counters = _clean_kernel(
         *tabs, Vp=Vp, Dp=Dp,
         n_chunks=n_chunks, fuzz=int(opt.gap_fuzz), ratios=ratios,
         max_ext=int(opt.max_ext), do_trans=do_trans, do_symm=do_symm,
         row_sharding=row_sharding)
-    bits, cands, counters = jax.device_get((bits, cands, counters))
+    arc_bits, cands, counters = jax.device_get((arc_bits, cands, counters))
     add_extra("clean.detect_s", _time.time() - t0)
     add_extra("clean.detect_n", 1)
-    # unpack the 4-slots-per-int32-lane wire format (little-endian bytes)
-    if 3 + len(ratios) <= 8 and Dp % 4 == 0:
-        bits = np.ascontiguousarray(bits).view(np.uint8).reshape(Vp, Dp)
+    # unpack the 4-arcs-per-int32-lane wire format (little-endian bytes)
+    if 3 + len(ratios) <= 8 and Ap % 4 == 0:
+        arc_bits = np.ascontiguousarray(arc_bits).view(np.uint8)
+    arc_bits = (arc_bits[:g.n_arc].astype(np.int32) if g.n_arc
+                else np.zeros(0, np.int32))
     if Vp % 4 == 0:
         cands = (np.ascontiguousarray(cands).view(np.uint8)
                  .reshape(Vp)[:V].astype(np.int32))
     else:
         cands = cands[:V]
-    rows = g.u.astype(np.int64)
-    slots = np.arange(g.n_arc, dtype=np.int64) - g.idx_start[rows]
-    arc_bits = bits[rows, slots] if g.n_arc else np.zeros(0, np.int32)
     out = {
         "trans": (arc_bits & 1).astype(bool),
         "multi": ((arc_bits >> 1) & 1).astype(bool),

@@ -150,11 +150,6 @@ def sweep_events(seg, key, has_query, T: int, min_dp: int, end_clip: int,
     tr_cap = min(tr_cap, n4)
     seg, key = jax.lax.sort([seg, key], num_keys=2)
 
-    if has_query is None:
-        # seg is sorted: presence == the segment is non-empty
-        b = jnp.searchsorted(seg, jnp.arange(T + 1, dtype=I32))
-        has_query = b[1:] > b[:-1]
-
     valid_ev = key != BIG
     is_end = (key & 1) == 1
     delta = jnp.where(valid_ev, jnp.where(is_end, -1, 1), 0).astype(I32)
@@ -164,11 +159,27 @@ def sweep_events(seg, key, has_query, T: int, min_dp: int, end_clip: int,
     is_start_tr = valid_ev & (old_depth < min_dp) & (depth >= min_dp)
     is_end_tr = valid_ev & (old_depth >= min_dp) & (depth < min_dp)
     tr = is_start_tr | is_end_tr
-    n_tr = jnp.sum(tr)
 
-    # compact the transitions to the front, preserving order: one 1-key
+    compute_pres = has_query is None
+    if compute_pres:
+        # presence rides the same compaction: include each segment's FIRST
+        # event row, then presence is a transition-scale reduction.  The
+        # first included row of a segment is its first event (or the first
+        # start transition when they coincide), which never splits a
+        # (start, end) pair — ends still read their start as the previous
+        # compacted element.  All-BIG segments contribute an inert row
+        # (its garbage pos is never a predecessor: no transitions there).
+        first_occ = (jnp.concatenate([jnp.ones(1, bool),
+                                      seg[1:] != seg[:-1]])
+                     & (seg < jnp.int32(T)))
+        inc = tr | first_occ
+    else:
+        inc = tr
+    n_tr = jnp.sum(inc)
+
+    # compact the included rows to the front, preserving order: one 1-key
     # sort carrying (seg, key) as payload
-    tkey = jnp.where(tr, jnp.arange(n4, dtype=I32), BIG)
+    tkey = jnp.where(inc, jnp.arange(n4, dtype=I32), BIG)
     _, seg_c, key_c = jax.lax.sort([tkey, seg, key], num_keys=1)
     seg_c = seg_c[:tr_cap]
     key_c = key_c[:tr_cap]
@@ -177,8 +188,15 @@ def sweep_events(seg, key, has_query, T: int, min_dp: int, end_clip: int,
     is_end_c = (key_c & 1) == 1
     # each end-transition's paired start is the previous compacted element
     start_c = jnp.concatenate([jnp.zeros(1, I32), pos_c[:-1]])
-    end_rows = okc & is_end_c
     seg_cm = jnp.where(okc, jnp.minimum(seg_c, T), T)
+    if compute_pres:
+        has_query = jax.ops.segment_max(okc.astype(I32), seg_cm,
+                                        num_segments=T + 1)[:T] > 0
+    # a first_occ-only row can never read as an end transition: the first
+    # real event of a segment is always a START event (every end's paired
+    # start has a smaller key), so its low bit is 0; the one exception is
+    # an all-BIG segment's row (key == BIG, low bit 1), masked explicitly
+    end_rows = okc & is_end_c & (key_c != BIG)
 
     if pack15:
         NEG = jnp.int32(0x7FFF)
