@@ -63,9 +63,57 @@ def truth_paf(sim) -> str:
     return "\n".join(rows) + "\n"
 
 
+def _utg_stats(gfa_text: str):
+    """(unitig count, N50 over unitig lengths from S-line LN tags)."""
+    lens = []
+    for line in gfa_text.splitlines():
+        if not line.startswith("S\t"):
+            continue
+        t = line.split("\t")
+        ln = None
+        for f in t[3:]:
+            if f.startswith("LN:i:"):
+                ln = int(f[5:])
+        if ln is None and len(t) > 2 and t[2] != "*":
+            ln = len(t[2])
+        lens.append(ln or 0)
+    if not lens:
+        return 0, 0
+    lens.sort(reverse=True)
+    half = sum(lens) / 2
+    acc = 0
+    for ln in lens:
+        acc += ln
+        if acc >= half:
+            return len(lens), ln
+    return len(lens), lens[-1]
+
+
+def _ref_binary():
+    """Compile the reference miniasm out-of-tree (same recipe as the test
+    conftest); None when unavailable."""
+    import shutil
+    import subprocess
+
+    exe = "/tmp/miniasm_ref_build/miniasm"
+    if os.path.exists(exe):
+        return exe
+    src = "/root/reference"
+    if not os.path.isdir(src):
+        return None
+    os.makedirs("/tmp/miniasm_ref_build", exist_ok=True)
+    for f in os.listdir(src):
+        if f.endswith((".c", ".h")) or f == "Makefile":
+            shutil.copy(os.path.join(src, f), "/tmp/miniasm_ref_build")
+    r = subprocess.run(["make", "-j4"], cwd="/tmp/miniasm_ref_build",
+                       capture_output=True)
+    return exe if r.returncode == 0 and os.path.exists(exe) else None
+
+
 def run_one(name, genome_len, coverage, mean_read, dropout, circular,
-            seed=13):
+            seed=13, ref_exe=None):
     import random
+    import subprocess
 
     from ..config import Opt
     from ..pipeline import run
@@ -85,7 +133,7 @@ def run_one(name, genome_len, coverage, mean_read, dropout, circular,
         gfa = io.StringIO()
         run(paf, Opt(), outfmt="ug", out=gfa)
         gfa_text = gfa.getvalue()
-        n_utg = sum(1 for l in gfa_text.splitlines() if l.startswith("S\t"))
+        n_utg, n50 = _utg_stats(gfa_text)
         bed_fn = os.path.join(td, "a.bed")
         with open(bed_fn, "w") as f:
             f.write(alines_to_bed(gfa_text))
@@ -96,8 +144,21 @@ def run_one(name, genome_len, coverage, mean_read, dropout, circular,
         n_err = order_run(bed_fn, truth_fn, sink, ws=5)
         n_pairs = sum(1 for l in gfa_text.splitlines()
                       if l.startswith("a\t"))
-    return {"dataset": name, "unitigs": n_utg, "layout_errors": n_err,
-            "reads_in_layout": n_pairs}
+        res = {"dataset": name, "unitigs": n_utg, "n50": n50,
+               "layout_errors": n_err, "reads_in_layout": n_pairs}
+        if ref_exe:
+            # anchor to the compiled reference on the SAME input: unitig
+            # count / N50 deltas must be zero (byte-parity is the repo
+            # contract; this proves it holds at panel scale too)
+            r = subprocess.run([ref_exe, paf], capture_output=True)
+            ref_text = r.stdout.decode()
+            ref_utg, ref_n50 = _utg_stats(ref_text)
+            res.update({
+                "ref_unitigs": ref_utg, "ref_n50": ref_n50,
+                "d_unitigs": n_utg - ref_utg, "d_n50": n50 - ref_n50,
+                "ref_identical": ref_text == gfa_text,
+            })
+    return res
 
 
 def main(argv=None):
@@ -108,16 +169,26 @@ def main(argv=None):
                           os.environ["MINIASM_TPU_PLATFORM"])
     argv = list(sys.argv[1:] if argv is None else argv)
     panel = PANEL[:5] if "--quick" in argv else PANEL
+    out_fn = None
+    if "--out" in argv:
+        out_fn = argv[argv.index("--out") + 1]
+    ref_exe = _ref_binary()
     results = []
     for cfg in panel:
-        r = run_one(*cfg)
+        r = run_one(*cfg, ref_exe=ref_exe)
         results.append(r)
         print(json.dumps(r), flush=True)
     single = sum(1 for r in results if r["unitigs"] == 1)
     consistent = sum(1 for r in results if r["layout_errors"] == 0)
-    print(json.dumps({"summary": True, "datasets": len(results),
-                      "single_contig": single,
-                      "layout_consistent": consistent}))
+    identical = sum(1 for r in results if r.get("ref_identical"))
+    summary = {"summary": True, "datasets": len(results),
+               "single_contig": single, "layout_consistent": consistent,
+               "ref_identical": identical,
+               "ref_anchored": ref_exe is not None}
+    print(json.dumps(summary))
+    if out_fn:
+        with open(out_fn, "w") as f:
+            json.dump({"results": results, **summary}, f, indent=1)
     return 0
 
 

@@ -100,11 +100,26 @@ void rs_sort_mt(KV* beg, KV* end, int n_bits, int s, int n_threads) {
     // skip through degenerate all-in-one-bucket levels sequentially so the
     // fan-out below actually has buckets to hand to the workers
     int live = 0;
+    int64_t remaining = 0;
     Bucket* only = nullptr;
     for (int i = 0; i < size; ++i)
-        if (b[i].e - b[i].b > 1) { ++live; only = &b[i]; }
+        if (b[i].e - b[i].b > 1) {
+            ++live;
+            remaining += b[i].e - b[i].b;
+            only = &b[i];
+        }
     if (live == 1 && only->e - only->b > kMinSize && s2) {
         rs_sort_mt(only->b, only->e, n_bits, s2, n_threads);
+        return;
+    }
+    if (remaining < (1 << 16)) {  // not worth a thread pool
+        for (int i = 0; i < size; ++i) {
+            int64_t n = b[i].e - b[i].b;
+            if (n > kMinSize)
+                rs_sort(b[i].b, b[i].e, n_bits, s2);
+            else if (n > 1)
+                insert_sort(b[i].b, b[i].e);
+        }
         return;
     }
     std::atomic<int> next{0};

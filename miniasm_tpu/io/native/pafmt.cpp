@@ -637,19 +637,14 @@ void ma_mt_rank(MtState* st) {
 }
 
 // start the rank build on a detached-side thread so it overlaps the
-// device dispatch + fetch; ma_mt_rank_wait joins it.  The thread (and
-// the sort workers it spawns — nice is inherited on thread creation)
-// runs at low priority: the tunnel/device client needs CPU to service
-// the execution stream, and on a 2-core host a full-speed sort visibly
-// slows the concurrently-running device fetch.
+// device dispatch + fetch; ma_mt_rank_wait joins it.  The thread runs
+// at NORMAL priority: an earlier nice+10 variant starved outright when
+// the tunnel client's service threads spun on both cores of this host
+// (measured: the 1.8 s sort stretched to 15-35 s of exposed join wait),
+// which cost far more than the slight fetch slowdown fair scheduling
+// causes.
 void ma_mt_rank_async(MtState* st) {
-    st->threads.emplace_back([st] {
-#ifdef __linux__
-        setpriority(PRIO_PROCESS, static_cast<id_t>(syscall(SYS_gettid)),
-                    10);
-#endif
-        ma_mt_rank(st);
-    });
+    st->threads.emplace_back([st] { ma_mt_rank(st); });
 }
 
 void ma_mt_rank_wait(MtState* st) {

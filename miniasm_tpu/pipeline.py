@@ -202,6 +202,9 @@ def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir):
     r = _emit(paf_fn, opt, outfmt, fn_reads, stage, out, d, None,
               sub_s, sub_e, sub_del, prebuilt=g)
     tick("emit_done")
+    # clear the tick clock so a later run through a different entry point
+    # (e.g. run_sharded in the same process) doesn't measure from stale t0
+    _tick_t0.pop("t0", None)
     return r
 
 
