@@ -149,6 +149,28 @@ def main():
     genome_len = int(os.environ.get("BENCH_GENOME", 100_000_000))
     coverage = float(os.environ.get("BENCH_COV", 40))
     exe = build_reference()
+
+    # Tunnel characterization (recorded with every bench so round-over-
+    # round deltas can be attributed): the FIRST device fetch of a process
+    # pays a size-independent reconnect penalty measured at 60-300 s when
+    # the tunnel has been idle; paying it here keeps it out of cold_s.
+    import numpy as _np
+
+    t0 = time.time()
+    probe = jax.device_put(_np.zeros(8, _np.int32))
+    probe.block_until_ready()
+    _ = jax.device_get(probe)
+    first_fetch_s = round(time.time() - t0, 3)
+    big = jax.device_put(_np.zeros(1 << 22, _np.int32))
+    big.block_until_ready()
+    t0 = time.time()
+    _ = jax.device_get(jax.jit(lambda x: x + 1)(big))
+    d2h_mbs = round(16 / (time.time() - t0), 1)
+    t0 = time.time()
+    jax.device_put(_np.ones(1 << 22, _np.int32)).block_until_ready()
+    h2d_mbs = round(16 / (time.time() - t0), 1)
+    tunnel = {"first_fetch_s": first_fetch_s, "d2h_mb_s": d2h_mbs,
+              "h2d_mb_s": h2d_mbs}
     small = bench_config(4_600_000, 40.0, exe)
 
     class _Timeout(Exception):
@@ -170,7 +192,7 @@ def main():
         signal.signal(signal.SIGALRM, old)
 
     out = {"metric": "paf_to_gfa_wall", "unit": "s",
-           "host_cpus": os.cpu_count()}
+           "host_cpus": os.cpu_count(), "tunnel": tunnel}
     if big is not None:
         out.update(big)
         out["ecoli"] = {k: small[k] for k in

@@ -312,6 +312,7 @@ def detect(g: Graph, opt, *, do_trans: bool, do_symm: bool = True,
 
     t0 = _time.time()
     au, al, av, aol, sdel_v, V, Vp, Dp, Ap = build_arcs(g)
+    add_extra("clean.build_s", _time.time() - t0)
     ratios = _ratio_schedule(opt)
     n_chunks = 1
     while Vp // n_chunks * Dp * Dp * 4 > _CHUNK_BYTES and n_chunks < Vp:

@@ -149,10 +149,29 @@ class _Cleaner:
         if n_asymm:
             self.g.adel |= det["asymm"]
         log("del_asymm", "removed %d asymmetric arcs", n_asymm)
+        was_symm_mode = self.symm_mode
         self.symm_mode = True
         if n_multi or n_asymm or int(det["trans"].sum()):
-            self.g = cleanup(self.g)
-            self.redetect()
+            g = self.g
+            if was_symm_mode:
+                # the detection chained every downstream mask on the
+                # post-symm live set inside one kernel, and cleanup only
+                # compacts (relative arc order preserved, asg.c:75-78) —
+                # so remap the arc masks through the compaction instead
+                # of paying a second detection dispatch
+                keep = ~g.adel & ~g.sdel[g.u >> 1] & ~g.sdel[g.v >> 1]
+                self.g = cleanup(g)
+                det2 = dict(det)
+                for k in ("trans", "multi", "asymm"):
+                    det2[k] = det[k][keep]  # all-False after the apply
+                det2["shorts"] = [m[keep] for m in det["shorts"]]
+                self.det = det2
+            else:
+                # trans==0 window: masks were computed on the
+                # UNsymmetrized live set; downstream candidates need a
+                # fresh post-symm classification
+                self.g = cleanup(g)
+                self.redetect()
         self.g.is_symm = True
 
     def del_short(self, ratio_idx: int):

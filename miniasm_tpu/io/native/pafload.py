@@ -218,6 +218,24 @@ class _MaMtInfo(ctypes.Structure):
 _MT_CHUNK = 1 << 19  # records per uploaded piece (a 64K multiple)
 
 
+def _ladder_chunks(c: int) -> int:
+    """Quantize a piece count to the {4,5,6,7}x2^k ladder (plus 1,2,3 at
+    the bottom).  The select kernel's compiled shape is keyed by the total
+    record capacity, so quantizing caps to this ladder means a NEW input
+    size almost always reuses a previously-compiled (and persistently
+    cached) kernel instead of paying a minutes-long tunnel compile; the
+    cost is <= 14% padding rows, which the kernel treats as inert."""
+    if c <= 4:
+        return max(c, 1)
+    k = 0
+    while (7 << k) < c:
+        k += 1
+    for m in (4, 5, 6, 7):
+        if (m << k) >= c:
+            return m << k
+    return 8 << k
+
+
 def _concat_jit(*pieces):
     import jax
 
@@ -440,6 +458,18 @@ def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
             cap += sz
             if n < sz and not switched:
                 break
+        # pad the total capacity to the shape-bucket ladder with zero
+        # pieces (inert rows) so the kernel's compiled shape recurs
+        # across different input sizes
+        want_chunks = _ladder_chunks(-(-cap // _MT_CHUNK))
+        pad = want_chunks * _MT_CHUNK - cap
+        rows = buf.shape[0]  # match the final piece format
+        while pad > 0:
+            sz = min(pad, 4 * _MT_CHUNK)
+            upq.put(np.zeros((rows, sz), dtype=np.int32))
+            n_pieces += 1
+            cap += sz
+            pad -= sz
     finally:
         upq.put(None)
         up_thread.join()
