@@ -148,7 +148,7 @@ def _partition(cols, n_seq, n_shards):
 
 
 def _make_select_step(mesh, n_seq, n_seq_cap, opt, *, per, block, cap,
-                      pack_se, arc_cap):
+                      pack_se, arc_cap, tr_cap=None):
     """Sharded Steps 2-3 with DUAL-SIDED rows and per-pass EVENT exchange.
 
     Every original row stays at its query's owner and carries both its
@@ -259,14 +259,16 @@ def _make_select_step(mesh, n_seq, n_seq_cap, opt, *, per, block, cap,
                          .at[jnp.where(vq, qid, T)].set(vq, mode="drop")
                          .at[jnp.where(rpres, rtid, T)].set(rpres,
                                                             mode="drop"))
-            # tr_cap defaults to the event count — always safe, so the
-            # sharded step never needs the overflow retry
+            # bounded tr_cap keeps the compaction sort's sliced tail at
+            # transition scale; n_tr rides the counts so the host can
+            # validate and re-jit with a bigger cap on overflow
             return sweep_events(seg, key, has_query, T, opt.min_dp,
-                                end_clip, False)[:5]
+                                end_clip, False, tr_cap=tr_cap)
 
         # ---- Step 2: crude sweep + cut (main.c:122-125) ----
-        s1, e1, d1, _, n_rem1 = sweep(qs, qe, ts, te, vq, vm, 0)
+        s1, e1, d1, _, n_rem1, n_tr1 = sweep(qs, qe, ts, te, vq, vm, 0)
         n_rem1 = jax.lax.psum(n_rem1, axis)
+        n_tr1 = jax.lax.pmax(n_tr1, axis)
         s1 = combine_tab(s1)
         e1 = combine_tab(e1)
         d1 = combine_or(d1)
@@ -301,9 +303,10 @@ def _make_select_step(mesh, n_seq, n_seq_cap, opt, *, per, block, cap,
         dp_hi = jax.lax.psum(jnp.sum(dpv >> 10), axis)
 
         # ---- Step 3: fine sweep + cut + merge (main.c:132-135) ----
-        s2, e2, d2, has_flt, n_rem2 = sweep(qs, qe, ts, te, vq, vm,
-                                            opt.min_span // 2)
+        s2, e2, d2, has_flt, n_rem2, n_tr2 = sweep(qs, qe, ts, te, vq, vm,
+                                                   opt.min_span // 2)
         n_rem2 = jax.lax.psum(n_rem2, axis)
+        n_tr2 = jax.lax.pmax(n_tr2, axis)
         s2 = combine_tab(s2)
         e2 = combine_tab(e2)
         d2 = combine_or(d2)
@@ -376,7 +379,7 @@ def _make_select_step(mesh, n_seq, n_seq_cap, opt, *, per, block, cap,
                           pal.astype(I32)])[:, :n_seq_cap + 1]
         counts = jnp.stack([n_rem1, n_cut1, n_flt, n_rem2, n_cut2, m_cont,
                             jax.lax.psum(n_arc_local, axis),
-                            dp_lo, dp_hi, len_lo, len_hi])
+                            dp_lo, dp_hi, len_lo, len_hi, n_tr1, n_tr2])
         return arcmat, meta, counts
 
     return step
@@ -413,14 +416,22 @@ def run_sharded(paf_fn, opt: Opt, mesh, *, outfmt: str = "ug",
     arc_cap = 2 * per
 
     gmat = jax.device_put(hostmat, NamedSharding(mesh, P(None, "r")))
-    step = _make_select_step(mesh, n_seq, n_seq_cap, opt, per=per,
-                             block=block, cap=cap, pack_se=pack_se,
-                             arc_cap=arc_cap)
+    # transitions ~= 2 per read in the shard's block; 8x headroom with a
+    # validated doubling retry (counts[11:13] carry the true per-shard max)
+    tr_cap = _next_pow2(max(1 << 14, 8 * block))
     sys.stderr.write("[M::main] ===> Step 2: 1-pass (crude) read selection <===\n")
-    arcmat, meta, counts = jax.jit(step)(gmat)
-    arcmat, meta, counts = jax.device_get((arcmat, meta, counts))
+    while True:
+        step = _make_select_step(mesh, n_seq, n_seq_cap, opt, per=per,
+                                 block=block, cap=cap, pack_se=pack_se,
+                                 arc_cap=arc_cap, tr_cap=tr_cap)
+        arcmat, meta, counts = jax.jit(step)(gmat)
+        arcmat, meta, counts = jax.device_get((arcmat, meta, counts))
+        n_tr = max(int(counts[11]), int(counts[12]))
+        if n_tr <= tr_cap:
+            break
+        tr_cap = _next_pow2(n_tr)
     (n_rem1, n_cut1, n_flt, n_rem2, n_cut2, m_cont, n_arc,
-     dp_lo, dp_hi, len_lo, len_hi) = [int(x) for x in counts]
+     dp_lo, dp_hi, len_lo, len_hi) = [int(x) for x in counts[:11]]
     log("hit_sub", "%d query sequences remain after sub", n_rem1)
     log("hit_cut", "%d hits remain after cut", n_cut1)
     meta = meta[:, :n_seq]

@@ -343,7 +343,7 @@ def worker(paf_fn: str, out_fn: str, *, coordinator: str, num_procs: int,
     if me != 0:
         return None
     (n_rem1, n_cut1, n_flt, n_rem2, n_cut2, m_cont, n_arc,
-     dp_lo, dp_hi, len_lo, len_hi) = [int(x) for x in counts_dev]
+     dp_lo, dp_hi, len_lo, len_hi) = [int(x) for x in counts_dev[:11]]
     log("hit_sub", "%d query sequences remain after sub", n_rem1)
     log("hit_cut", "%d hits remain after cut", n_cut1)
     meta = meta[:, :n_seq]
