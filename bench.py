@@ -48,33 +48,40 @@ def build_reference():
     return exe
 
 
-def prepare_data(genome_len, coverage, seed=11):
+def prepare_data(genome_len, coverage, seed=11, with_fasta=False):
     os.makedirs(BENCH_DIR, exist_ok=True)
     paf = os.path.join(BENCH_DIR, "bench_%d_%d.paf" % (genome_len, int(coverage)))
-    if not os.path.exists(paf):
-        from miniasm_tpu.eval.simulate import simulate, write_paf
+    fa = os.path.join(BENCH_DIR, "bench_%d_%d.fa" % (genome_len, int(coverage)))
+    if not os.path.exists(paf) or (with_fasta and not os.path.exists(fa)):
+        from miniasm_tpu.eval.simulate import (simulate, write_paf,
+                                               write_fasta)
 
         sim = simulate(genome_len=genome_len, coverage=coverage,
                        mean_read=9000, sd_read=2500, seed=seed)
-        write_paf(sim, paf)
-    return paf
+        if not os.path.exists(paf):
+            write_paf(sim, paf)
+        if with_fasta and not os.path.exists(fa):
+            write_fasta(sim, fa)
+    return paf, (fa if with_fasta else None)
 
 
-def run_ours(paf):
+def run_ours(paf, fn_reads=None):
     from miniasm_tpu import pipeline
     from miniasm_tpu.config import Opt
     from miniasm_tpu.utils import timers
 
     t0 = time.time()
     with open(os.devnull, "w") as devnull:
-        pipeline.run(paf, Opt(), outfmt="ug", out=devnull)
+        pipeline.run(paf, Opt(), outfmt="ug", out=devnull,
+                     fn_reads=fn_reads)
     return time.time() - t0, dict(pipeline.LAST_TIMING), dict(timers.EXTRA)
 
 
-def run_ref(exe, paf):
+def run_ref(exe, paf, fn_reads=None):
     t0 = time.time()
+    args = [exe] + (["-f", fn_reads] if fn_reads else []) + [paf]
     with open(os.devnull, "wb") as devnull:
-        subprocess.run([exe, paf], stdout=devnull,
+        subprocess.run(args, stdout=devnull,
                        stderr=subprocess.DEVNULL, check=True)
     return time.time() - t0
 
@@ -105,11 +112,12 @@ def count_overlaps(paf, min_span=2000, min_match=100):
     return n
 
 
-def bench_config(genome_len, coverage, exe, *, ours_reps=3, ref_reps=2):
+def bench_config(genome_len, coverage, exe, *, ours_reps=3, ref_reps=2,
+                 with_seq=False):
     # ours_reps=3: the tunnel-attached TPU's throughput varies between
     # sessions (measured 2-4x swings on identical cached executables);
     # min-of-3 warm runs is cheap insurance against a slow period
-    paf = prepare_data(genome_len, coverage)
+    paf, fa = prepare_data(genome_len, coverage, with_fasta=with_seq)
     cold, _, _ = run_ours(paf)
     runs = [run_ours(paf) for _ in range(ours_reps)]
     ours = min(t for t, _, _ in runs)
@@ -128,12 +136,25 @@ def bench_config(genome_len, coverage, exe, *, ours_reps=3, ref_reps=2):
     else:
         ref, vs = 0.0, 0.0
     n_ovlp = count_overlaps(paf)
-    return {"value": round(ours, 3), "vs_baseline": round(vs, 3),
-            "overlaps": n_ovlp,
-            "overlaps_per_s": round(n_ovlp / ours) if ours else 0,
-            "ref_s": round(ref, 3), "cold_s": round(cold, 3),
-            "stages": stages, "substages": substages,
-            "genome_len": genome_len, "coverage": coverage}
+    out = {"value": round(ours, 3), "vs_baseline": round(vs, 3),
+           "overlaps": n_ovlp,
+           "overlaps_per_s": round(n_ovlp / ours) if ours else 0,
+           "ref_s": round(ref, 3), "cold_s": round(cold, 3),
+           "stages": stages, "substages": substages,
+           "genome_len": genome_len, "coverage": coverage}
+    if fa:
+        # -f variant: one run with sequence splicing (native FASTX
+        # streaming splicer, asm.c:236-290 equivalent); `seq` is the
+        # splice stage's own wall inside the run
+        t_f, ticks, _ = run_ours(paf, fn_reads=fa)
+        seq_s = None
+        if "seq" in ticks and "unitig" in ticks:
+            seq_s = round(ticks["seq"] - ticks["unitig"], 3)
+        ref_f = run_ref(exe, paf, fn_reads=fa) if exe else 0.0
+        out["with_seq"] = {"value": round(t_f, 3), "seq_stage_s": seq_s,
+                          "ref_s": round(ref_f, 3),
+                          "vs_baseline": round(ref_f / t_f, 3) if t_f else 0}
+    return out
 
 
 def main():
@@ -184,7 +205,7 @@ def main():
     old = signal.signal(signal.SIGALRM, _alarm)
     signal.alarm(budget)
     try:
-        big = bench_config(genome_len, coverage, exe)
+        big = bench_config(genome_len, coverage, exe, with_seq=True)
     except _Timeout:
         big = None
     finally:

@@ -136,10 +136,15 @@ def main(argv=None) -> int:
         import jax
 
         jax.profiler.start_trace(prof_dir)
+    # MINIASM_TPU_SNAPSHOT=<dir> persists/restores the Step-3/4 boundary
+    # state (SURVEY §5): debugging a Step-4 pass with -S reruns in seconds
+    # instead of re-selecting the whole PAF.  Env var for the same reason
+    # as the profiler hook: the getopt string is parity-pinned.
+    snapshot_dir = os.environ.get("MINIASM_TPU_SNAPSHOT")
     try:
         run(args[0], opt, outfmt=outfmt, fn_reads=fn_reads, stage=stage,
             no_first=no_first, no_second=no_second, bi_dir=bi_dir,
-            no_cont=no_cont)
+            no_cont=no_cont, snapshot_dir=snapshot_dir)
     except FileNotFoundError as e:
         sys.stderr.write("[E::main] could not open file %s\n" % e.filename)
         return 1

@@ -49,8 +49,24 @@ def _apply_cut(hits: Hits, keep, qs, qe, ts, te) -> Hits:
 
 def run(paf_fn: str, opt: Opt, *, outfmt: str = "ug", fn_reads: str | None = None,
         stage: int = 100, no_first: bool = False, no_second: bool = False,
-        bi_dir: bool = True, no_cont: bool = False, out=None):
+        bi_dir: bool = True, no_cont: bool = False, out=None,
+        snapshot_dir: str | None = None):
     out = out or sys.stdout
+
+    fast_ug = (not no_first and not no_second and stage >= 5
+               and outfmt in ("ug", "sg"))
+    if snapshot_dir and fast_ug and not no_cont:
+        # stage-boundary restore (SURVEY §5): skip Steps 1-3 entirely when
+        # a snapshot for this (PAF, options) pair exists
+        from .io.snapshot import load_graph_state
+
+        st = load_graph_state(snapshot_dir, paf_fn, opt)
+        if st is not None:
+            d, g, sub_s, sub_e, sub_del = st
+            sys.stderr.write("[M::main] ===> Steps 1-3 restored from "
+                             "snapshot <===\n")
+            return _emit(paf_fn, opt, outfmt, fn_reads, stage, out, d,
+                         None, sub_s, sub_e, sub_del, prebuilt=g)
 
     excl = None
     if no_cont:
@@ -59,8 +75,6 @@ def run(paf_fn: str, opt: Opt, *, outfmt: str = "ug", fn_reads: str | None = Non
                                  opt.max_hang, opt.int_frac)
 
     sys.stderr.write("[M::main] ===> Step 1: reading read mappings <===\n")
-    fast_ug = (not no_first and not no_second and stage >= 5
-               and outfmt in ("ug", "sg"))
     if fast_ug:
         # production path: one fused device kernel over the unmirrored
         # originals (select/fused2.py) fed by the pipelined native loader
@@ -70,7 +84,9 @@ def run(paf_fn: str, opt: Opt, *, outfmt: str = "ug", fn_reads: str | None = Non
             available = lambda: False  # noqa: E731
         if available():
             return _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out,
-                                excl, bi_dir)
+                                excl, bi_dir,
+                                snapshot_dir=(snapshot_dir if not no_cont
+                                              else None))
 
     # staged per-pass path: -1/-2/-S gating, bed/paf outputs, and the
     # no-native fallback
@@ -130,7 +146,8 @@ def run(paf_fn: str, opt: Opt, *, outfmt: str = "ug", fn_reads: str | None = Non
                  sub_s, sub_e, sub_del)
 
 
-def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir):
+def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir,
+                 snapshot_dir=None):
     """Production ug/sg path: dual-sided device kernel over unmirrored
     originals (select/fused2.py), per-stage reference counters restored."""
     import os
@@ -199,6 +216,12 @@ def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir):
         d, md["sub_s"], md["sub_e"], md["sub_del"], md["cont"],
         md["used"], md["pal"], arcs, m_hits=m_cont)
     tick("graph_build")
+    if snapshot_dir:
+        from .io.snapshot import save_graph_state
+
+        save_graph_state(snapshot_dir, paf_fn, opt, d, g, sub_s, sub_e,
+                         sub_del)
+        tick("snapshot")
     r = _emit(paf_fn, opt, outfmt, fn_reads, stage, out, d, None,
               sub_s, sub_e, sub_del, prebuilt=g)
     tick("emit_done")
