@@ -342,7 +342,8 @@ class HitsMt:
 
 
 def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
-                 min_iden=0.05, n_workers=2, upload=True, block_bytes=0):
+                 min_iden=0.05, n_workers=2, upload=True, block_bytes=0,
+                 rank_async=False):
     """Pipelined loader: reader + parser threads tokenize and chunk-intern
     while the consumer globalizes ids in order and device_puts fixed-size
     (7, 2^19) pieces, so parsing, H2D transfer, and (via the later
@@ -458,6 +459,11 @@ def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
             cap += sz
             if n < sz and not switched:
                 break
+        if rank_async:
+            # the stream is fully parsed: start the exact-permutation
+            # sort now so it overlaps the upload tail, the device
+            # kernel, AND the fetch (the widest window available)
+            lib.ma_mt_rank_async(res)
         # pad the total capacity to the shape-bucket ladder with zero
         # pieces (inert rows) so the kernel's compiled shape recurs
         # across different input sizes
@@ -482,5 +488,6 @@ def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
     else:
         colmat_dev = pieces[0] if len(pieces) == 1 else _concat_jit(*pieces)
     h = HitsMt(lib, res, cap=cap)
+    h._async = bool(rank_async)
     d = h.seqdict()
     return colmat_dev, d, h

@@ -172,9 +172,10 @@ def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir,
 
     loader = (load_hits_v2 if os.environ.get("MINIASM_TPU_LOADER") == "v2"
               else load_hits_mt)
+    kw = {"rank_async": True} if loader is load_hits_mt else {}
     colmat_dev, d, h3 = loader(
         paf_fn, opt.min_span, opt.min_match, excl=excl, bi_dir=bi_dir,
-        min_iden=float(opt.min_iden))
+        min_iden=float(opt.min_iden), **kw)
     tick("load+upload")
     log("hit_read", "read %d hits; stored %d hits and %d sequences (%d bp)",
         h3.n_lines, h3.n_mirror, d.n_seq,

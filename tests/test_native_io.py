@@ -75,13 +75,29 @@ def test_mt_loader_matches_v2(sim_small, tmp_path):
     so this also exercises cross-chunk interning)."""
     from miniasm_tpu.io.native.pafload import load_hits_mt, load_hits_v2
 
+    def unpack(a):
+        """Device wire format -> 7-row [qid qs qe tid ts te flags]; the
+        MT loader packs 4 rows per record when coordinates fit 16 bits."""
+        a = np.asarray(a)
+        if a.shape[0] == 7:
+            return a
+        w0 = a[0].astype(np.uint32)
+        qsqe = a[2].astype(np.uint32)
+        tste = a[3].astype(np.uint32)
+        return np.stack([
+            (w0 & 0x0FFFFFFF).astype(np.int32),
+            (qsqe >> 16).astype(np.int32), (qsqe & 0xFFFF).astype(np.int32),
+            a[1],
+            (tste >> 16).astype(np.int32), (tste & 0xFFFF).astype(np.int32),
+            (w0 >> 28).astype(np.int32)])
+
     for paf in (sim_small["paf"],):
         c1, d1, h1 = load_hits_v2(paf, 2000, 100)
         c2, d2, h2 = load_hits_mt(paf, 2000, 100)
         n = h1.n_orig
         assert (h2.n_orig, h2.n_mirror, h2.n_lines, h2.max_len) == \
             (h1.n_orig, h1.n_mirror, h1.n_lines, h1.max_len)
-        a1, a2 = np.asarray(c1), np.asarray(c2)
+        a1, a2 = np.asarray(c1), unpack(c2)
         assert np.array_equal(a1[:, :n], a2[:, :n])
         assert np.all(a2[6, n:] == 0)  # zero-pad tail is inert
         assert d1.names == d2.names and d1.lens == d2.lens
@@ -98,7 +114,7 @@ def test_mt_loader_matches_v2(sim_small, tmp_path):
     c2, d2, h2 = load_hits_mt(gz, 2000, 100)
     assert h2.n_orig == h1.n_orig and d1.names == d2.names
     assert np.array_equal(np.asarray(c1)[:, :h1.n_orig],
-                          np.asarray(c2)[:, :h2.n_orig])
+                          unpack(c2)[:, :h2.n_orig])
     h1.free()
     h2.free()
 
@@ -119,11 +135,13 @@ def test_mt_loader_bl_carry_and_excl(tmp_path):
     p.write_text("\n".join(lines) + "\n")
     c, d, h = load_hits_mt(str(p), 2000, 100)
     a = np.asarray(c)
+    flags = (a[6] if a.shape[0] == 7
+             else (a[0].astype(np.uint32) >> 28).astype(np.int32))
     assert h.n_orig == 2
     assert d.names == ["a", "b", "c", "d"]
     # row 1 is the bl-carried record; its identity flag used bl=5000:
     # ml=4000 >= 5000*0.05 -> iden_ok set
-    assert a[6, 1] & 4
+    assert flags[1] & 4
     h.free()
 
     excl = SeqDict()
