@@ -416,7 +416,12 @@ def _select2_kernel(colmat, *, n_seq_cap, min_span, min_dp, max_hang,
     arc_rows = jnp.concatenate([arc_q, arc_m])
     n = qid.shape[0]
     n_arc = jnp.sum(arc_rows)
-    idx = jnp.nonzero(arc_rows, size=arc_cap, fill_value=2 * n - 1)[0]
+    # compact the arc row indices with a 1-key sort (ascending iota of the
+    # selected rows == nonzero order); ~2x cheaper than nonzero's
+    # cumsum+scatter lowering at this size
+    idx = jax.lax.sort([jnp.where(arc_rows, jnp.arange(2 * n, dtype=I32),
+                                  BIG)], num_keys=1)[0][:arc_cap]
+    idx = jnp.minimum(idx, 2 * n - 1)
     ok = jnp.arange(arc_cap, dtype=I32) < n_arc
     if pack_io:
         # pack (u,v) and (l,ol) BEFORE the gather: 2 gathers instead of 4
