@@ -482,6 +482,11 @@ def select_build2(colmat_dev, d, opt, *, bi_dir: bool, max_len: int,
     # (validated via counts[11:13]) for pathological inputs
     tr_cap = min(_next_pow2(max(1 << 17, 4 * n_seq_cap)), 4 * cap)
     dispatched = False
+    # small arc capacity (<= 4 MB transfer): fetch arcs+meta+counts in ONE
+    # device_get, skipping a sync round trip and the slice dispatch —
+    # round trips cost ~28 ms each on the tunnel, a visible fraction of an
+    # E. coli-scale run
+    small_fetch = arc_cap <= (1 << 18)
     t0 = _time.time()
     while True:
         arcmat, meta, counts = _select2_kernel(
@@ -493,23 +498,31 @@ def select_build2(colmat_dev, d, opt, *, bi_dir: bool, max_len: int,
         if not dispatched and on_dispatch is not None:
             on_dispatch()
             dispatched = True
-        counts = jax.device_get(counts)
+        if small_fetch:
+            arcmat_h, meta_h, counts = jax.device_get((arcmat, meta,
+                                                       counts))
+        else:
+            counts = jax.device_get(counts)
         n_arc = int(counts[6])
         n_tr = max(int(counts[11]), int(counts[12]))
         if n_arc <= arc_cap and n_tr <= tr_cap:
             break
         if n_arc > arc_cap:
             arc_cap = _next_pow2(n_arc)
+            small_fetch = arc_cap <= (1 << 18)
         if n_tr > tr_cap:
             tr_cap = min(_next_pow2(n_tr), 4 * cap)
     add_extra("select.kernel_s", _time.time() - t0)
-    # fetch only the filled arc slots (rounded up to a 64K bucket so the
-    # tiny slice op compiles once per bucket): the tunnel moves ~34 MB/s
-    # D2H, so skipping the empty tail of arcmat is worth more than the
-    # extra slice dispatch
-    fetch_cap = min(arc_cap, max(65536, -(-n_arc // 65536) * 65536))
     t0 = _time.time()
-    arcmat, meta = jax.device_get((arcmat[:, :fetch_cap], meta))
+    if small_fetch:
+        arcmat, meta = arcmat_h, meta_h
+    else:
+        # fetch only the filled arc slots (rounded up to a 64K bucket so
+        # the tiny slice op compiles once per bucket): the tunnel moves
+        # ~34 MB/s D2H, so skipping the empty tail of arcmat is worth more
+        # than the extra slice dispatch
+        fetch_cap = min(arc_cap, max(65536, -(-n_arc // 65536) * 65536))
+        arcmat, meta = jax.device_get((arcmat[:, :fetch_cap], meta))
     add_extra("select.fetch_s", _time.time() - t0)
     if pack_io:
         uv = arcmat[0, :n_arc].astype(np.uint32)
