@@ -145,7 +145,12 @@ def bench_config(genome_len, coverage, exe, *, ours_reps=3, ref_reps=2,
     if fa:
         # -f variant: one run with sequence splicing (native FASTX
         # streaming splicer, asm.c:236-290 equivalent); `seq` is the
-        # splice stage's own wall inside the run
+        # splice stage's own wall inside the run.  Prime the page cache
+        # first: whichever binary reads the multi-GB FASTA first would
+        # otherwise eat the disk cold-read (~13 s at 4 GB) alone.
+        with open(fa, "rb") as f:
+            while f.read(1 << 24):
+                pass
         t_f, ticks, _ = run_ours(paf, fn_reads=fa)
         seq_s = None
         if "seq" in ticks and "unitig" in ticks:
