@@ -318,6 +318,17 @@ class HitsMt:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
         return out
 
+    def key_fetch(self, idx):
+        """Mirrored-hit sort keys (qid<<32|qs per side) for kernel arc
+        indices; no rank build needed."""
+        idx = np.ascontiguousarray(idx, dtype=np.int64)
+        out = np.empty(idx.shape[0], dtype=np.uint64)
+        self._lib.ma_mt_key_fetch(
+            self._res, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            idx.shape[0], self.cap,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+        return out
+
     def seqdict(self):
         from ..seqdict import SeqDict
 
@@ -386,6 +397,10 @@ def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
                                      ctypes.POINTER(ctypes.c_int64),
                                      ctypes.c_int64, ctypes.c_int64,
                                      ctypes.POINTER(ctypes.c_int64)]
+    lib.ma_mt_key_fetch.argtypes = [ctypes.c_void_p,
+                                    ctypes.POINTER(ctypes.c_int64),
+                                    ctypes.c_int64, ctypes.c_int64,
+                                    ctypes.POINTER(ctypes.c_uint64)]
     lib.ma_mt_free.argtypes = [ctypes.c_void_p]
 
     if excl is not None and excl.n_seq:

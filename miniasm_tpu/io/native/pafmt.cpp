@@ -653,6 +653,23 @@ void ma_mt_rank_fetch(MtState* st, const int64_t* idx, int64_t n_idx,
     }
 }
 
+// Fetch the mirrored-hit sort keys (qid<<32|qs per side, hit.c:100) for
+// kernel arc indices WITHOUT building the rank table: when no two
+// surviving arcs share a (u<<32|l) graph key, a stable sort by these hit
+// keys reproduces the reference's arc order exactly and the 27.6M-key
+// exact radix is never needed (see pipeline._run_fast_v2).
+void ma_mt_key_fetch(MtState* st, const int64_t* idx, int64_t n_idx,
+                     int64_t cap, uint64_t* out) {
+    for (int64_t k = 0; k < n_idx; ++k) {
+        int64_t j = idx[k];
+        int64_t side = j >= cap ? 1 : 0;
+        j -= side * cap;
+        out[k] = side
+            ? (static_cast<uint64_t>(st->g_tid[j]) << 32) | st->g_ts[j]
+            : (static_cast<uint64_t>(st->g_qid[j]) << 32) | st->g_qs[j];
+    }
+}
+
 void ma_mt_join(MtState* st) {
     {
         std::lock_guard<std::mutex> lk(st->bmx);

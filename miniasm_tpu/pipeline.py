@@ -172,26 +172,17 @@ def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir,
 
     loader = (load_hits_v2 if os.environ.get("MINIASM_TPU_LOADER") == "v2"
               else load_hits_mt)
-    kw = {"rank_async": True} if loader is load_hits_mt else {}
     colmat_dev, d, h3 = loader(
         paf_fn, opt.min_span, opt.min_match, excl=excl, bi_dir=bi_dir,
-        min_iden=float(opt.min_iden), **kw)
+        min_iden=float(opt.min_iden))
     tick("load+upload")
     log("hit_read", "read %d hits; stored %d hits and %d sequences (%d bp)",
         h3.n_lines, h3.n_mirror, d.n_seq,
         int(np.sum(d.lens_array(), dtype=np.uint64)))
 
     sys.stderr.write("[M::main] ===> Step 2: 1-pass (crude) read selection <===\n")
-    if hasattr(h3, "rank_async"):
-        # MT loader: the exact-permutation sort runs on a C++ side thread
-        # concurrently with the device kernel + fetch
-        h3.rank_async()
-        on_disp = None
-    else:
-        on_disp = h3.build_rank
     arcs, md, counts = select_build2(
-        colmat_dev, d, opt, bi_dir=bi_dir, max_len=h3.max_len,
-        on_dispatch=on_disp)
+        colmat_dev, d, opt, bi_dir=bi_dir, max_len=h3.max_len)
     tick("select+fetch")
     n_rem1, n_cut1, n_flt, n_rem2, n_cut2, m_cont = counts[:6]
     log("hit_sub", "%d query sequences remain after sub", n_rem1)
@@ -203,12 +194,27 @@ def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir,
     log("hit_sub", "%d query sequences remain after sub", n_rem2)
     log("hit_cut", "%d hits remain after cut", n_cut2)
 
-    # restore the reference's arc insertion order (the exact ksort radix
-    # permutation of the mirrored hit array) over the surviving arcs only
+    # Restore the reference's arc insertion order (the exact ksort radix
+    # permutation of the mirrored hit array, hit.c:100) over the surviving
+    # arcs.  Fast path: the insertion order only matters through the graph
+    # build's (u<<32|l) radix sort (asg.c:75-78 via cleanup) — the radix
+    # is payload-oblivious, so when NO two surviving arcs share a graph
+    # key its output is uniquely determined by the keys and any input
+    # order with the right per-key occupants is exact; a stable sort by
+    # each arc's mirrored-hit key (qid<<32|qs of its side) provides that
+    # without ever building the 2N-key rank table.  Any duplicate graph
+    # key falls back to the full exact-permutation machinery.
     t_rank = time.time()
-    h3.build_rank()  # joins the async C++ sort thread
+    ul = ((arcs["u"].astype(np.uint64) << np.uint64(32))
+          | arcs["l"].astype(np.uint64))
+    sk = np.sort(ul)
+    has_dup = bool(np.any(sk[1:] == sk[:-1])) if sk.size > 1 else False
+    if not has_dup and hasattr(h3, "key_fetch"):
+        order = np.argsort(h3.key_fetch(arcs["idx"]), kind="stable")
+    else:
+        h3.build_rank()
+        order = np.argsort(h3.arc_ranks(arcs["idx"]), kind="stable")
     timers.add_extra("rank.join_s", time.time() - t_rank)
-    order = np.argsort(h3.arc_ranks(arcs["idx"]), kind="stable")
     arcs = {k: arcs[k][order] for k in ("u", "l", "v", "ol")}
     h3.free()
     tick("order")
