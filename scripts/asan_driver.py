@@ -70,6 +70,44 @@ c3, d3, h3 = load_hits_mt(paf, 2000, 100, upload=False)
 h3.rank_async()
 h3.free()
 
+# --- packed 4-row piece stream (ma_mt_next4) + hit-key fetch ---
+import ctypes
+
+from miniasm_tpu.io.native.build import get_lib
+
+lib = get_lib()
+res = lib.ma_mt_begin(paf.encode(), 2000, 100, b"", 0, 1, 0.05, 4096, 2, 0)
+assert res
+pieces = []
+while True:
+    buf = np.empty((4, 4096), dtype=np.int32)
+    got = lib.ma_mt_next4(
+        res, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), 4096)
+    assert not lib.ma_mt_pack_failed(res)  # sim coords all fit 16 bits
+    if got == 0 and pieces:
+        break
+    pieces.append(buf[:, :got])
+    if got < 4096:
+        break
+packed = np.concatenate(pieces, axis=1)
+c4, d4, h4 = load_hits_mt(paf, 2000, 100, upload=False)
+n4 = h4.n_orig
+a7 = np.asarray(c4)
+w0 = packed[0].astype(np.uint32)
+assert np.array_equal((w0 & 0x0FFFFFFF).astype(np.int32), a7[0, :n4])
+assert np.array_equal((w0 >> 28).astype(np.int32), a7[6, :n4])
+qsqe = packed[2].astype(np.uint32)
+assert np.array_equal((qsqe >> 16).astype(np.int32), a7[1, :n4])
+# key_fetch matches the columns directly
+ki = np.concatenate([np.arange(n4), h4.cap + np.arange(n4)])
+hk = h4.key_fetch(ki)
+want_q = (a7[0, :n4].astype(np.uint64) << 32) | a7[1, :n4].astype(np.uint64)
+want_m = (a7[3, :n4].astype(np.uint64) << 32) | a7[4, :n4].astype(np.uint64)
+assert np.array_equal(hk[:n4], want_q) and np.array_equal(hk[n4:], want_m)
+h4.free()
+st = ctypes.c_void_p(res)
+lib.ma_mt_free(st)
+
 # --- exact radix argsort ---
 from miniasm_tpu.utils.exact_sort import radix_argsort
 
