@@ -154,3 +154,45 @@ def test_gz_paf_through_cli(ref_miniasm, sim_noisy, tmp_path):
     our_out = run_ours([gz])
     assert our_out == ref_out
     assert ref_out == run_ref(ref_miniasm, [sim_noisy["paf"]])
+
+
+def test_duplicate_graph_key_parity(ref_miniasm, tmp_path):
+    """Two surviving arcs sharing the exact (u<<32|l) graph sort key force
+    the exact-rank fallback in the fast order path (pipeline._run_fast_v2);
+    output must still match the reference byte for byte.  The (genome,
+    dropout, seed) combination below is empirically chosen to produce a
+    duplicate graph key through the trim arithmetic (two genomic distances
+    projecting to the same arc length after sub-region cutting)."""
+    import random
+
+    from miniasm_tpu.eval.simulate import simulate, write_paf
+
+    import numpy as np
+
+    sim = simulate(genome_len=800_000, coverage=30.0, seed=13)
+    paf = str(tmp_path / "dup.paf")
+    write_paf(sim, paf)
+    rng = random.Random(13)
+    kept = [l for l in open(paf) if rng.random() > 0.3]
+    with open(paf, "w") as f:
+        f.writelines(kept)
+
+    # confirm the crafted input actually produces duplicate graph keys
+    from miniasm_tpu.config import Opt
+    from miniasm_tpu.io.native.pafload import load_hits_mt
+    from miniasm_tpu.select.fused2 import select_build2
+
+    opt = Opt()
+    cm, d, h3 = load_hits_mt(paf, opt.min_span, opt.min_match, bi_dir=True,
+                             min_iden=float(opt.min_iden))
+    arcs, _, _ = select_build2(cm, d, opt, bi_dir=True, max_len=h3.max_len)
+    h3.free()
+    ul = ((arcs["u"].astype(np.uint64) << np.uint64(32))
+          | arcs["l"].astype(np.uint64))
+    sk = np.sort(ul)
+    assert np.any(sk[1:] == sk[:-1]), "fixture no longer produces dup keys"
+
+    for fmt in ("ug", "sg"):
+        ref_out = run_ref(ref_miniasm, ["-p", fmt, paf])
+        our_out = run_ours(["-p", fmt, paf])
+        assert our_out == ref_out
