@@ -431,6 +431,16 @@ def _select2_kernel(colmat, *, n_seq_cap, min_span, min_dp, max_hang,
                                (cm["l"] << 16) | cm["ol"]])[idx]
         arcmat = jnp.stack([jnp.where(ok, uv, 0), jnp.where(ok, lol, 0),
                             jnp.where(ok, idx.astype(I32), -1)])
+    elif pack_se:
+        # vertices don't fit 16 bits, but (l, ol) do (bounded by read
+        # length): 4 fetched rows instead of 5
+        au = jnp.concatenate([cq["u"], cm["u"]])[idx]
+        av = jnp.concatenate([cq["v"], cm["v"]])[idx]
+        lol = jnp.concatenate([(cq["l"] << 16) | cq["ol"],
+                               (cm["l"] << 16) | cm["ol"]])[idx]
+        arcmat = jnp.stack([jnp.where(ok, au, 0), jnp.where(ok, av, 0),
+                            jnp.where(ok, lol, 0),
+                            jnp.where(ok, idx.astype(I32), -1)])
     else:
         au = jnp.concatenate([cq["u"], cm["u"]])[idx]
         al = jnp.concatenate([cq["l"], cm["l"]])[idx]
@@ -441,7 +451,7 @@ def _select2_kernel(colmat, *, n_seq_cap, min_span, min_dp, max_hang,
                             jnp.where(ok, idx.astype(I32), -1)])
     flags = (mdel.astype(I32) | (cont.astype(I32) << 1)
              | (used.astype(I32) << 2) | (pal.astype(I32) << 3))
-    if pack_io:
+    if pack_se:
         meta = jnp.stack([(ms << 16) | me, flags])[:, :n_seq_cap + 1]
     else:
         meta = jnp.stack([ms, me, flags])[:, :n_seq_cap + 1]
@@ -470,11 +480,15 @@ def select_build2(colmat_dev, d, opt, *, bi_dir: bool, max_len: int,
     import time as _time
 
     from ..utils.timers import add_extra
+    import os as _os
+
     n_seq = d.n_seq
     n_seq_cap = _next_pow2(max(n_seq, 1))
     pack_se = bool(max_len < 65535)
     pack15 = bool(max_len < 32768)
     pack_io = pack_se and n_seq_cap <= 32768
+    if _os.environ.get("MINIASM_TPU_PACKIO") == "0":
+        pack_io = False  # test hook: forces the 4-row big-config format
     cap = colmat_dev.shape[1]
     arc_cap = min(_next_pow2(max(65536, 4 * n_seq_cap)), 2 * _next_pow2(cap))
     # transitions ~= 2 per surviving read (one region each); 4x the read
@@ -534,10 +548,15 @@ def select_build2(colmat_dev, d, opt, *, bi_dir: bool, max_len: int,
             "ol": (lol & 0xFFFF).astype(np.int32),
             "idx": arcmat[2, :n_arc].astype(np.int64),
         }
-        meta = meta[:, :n_seq]
-        sme = meta[0].astype(np.uint32)
-        flags = meta[1]
-        md = {"sub_s": sme >> 16, "sub_e": sme & 0xFFFF}
+    elif pack_se:
+        lol = arcmat[2, :n_arc].astype(np.uint32)
+        arcs = {
+            "u": arcmat[0, :n_arc].astype(np.int32),
+            "v": arcmat[1, :n_arc].astype(np.int32),
+            "l": (lol >> 16).astype(np.int32),
+            "ol": (lol & 0xFFFF).astype(np.int32),
+            "idx": arcmat[3, :n_arc].astype(np.int64),
+        }
     else:
         arcs = {
             "u": arcmat[0, :n_arc].astype(np.int32),
@@ -546,7 +565,12 @@ def select_build2(colmat_dev, d, opt, *, bi_dir: bool, max_len: int,
             "ol": arcmat[3, :n_arc].astype(np.int32),
             "idx": arcmat[4, :n_arc].astype(np.int64),
         }
-        meta = meta[:, :n_seq]
+    meta = meta[:, :n_seq]
+    if pack_se:
+        sme = meta[0].astype(np.uint32)
+        flags = meta[1]
+        md = {"sub_s": sme >> 16, "sub_e": sme & 0xFFFF}
+    else:
         flags = meta[2]
         md = {
             "sub_s": meta[0].astype(np.uint32),

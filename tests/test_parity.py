@@ -196,3 +196,13 @@ def test_duplicate_graph_key_parity(ref_miniasm, tmp_path):
         ref_out = run_ref(ref_miniasm, ["-p", fmt, paf])
         our_out = run_ours(["-p", fmt, paf])
         assert our_out == ref_out
+
+
+def test_big_config_fetch_format_parity(ref_miniasm, sim_small, monkeypatch):
+    """The 4-row (u, v, l<<16|ol) fetch format only triggers above 32768
+    reads in production; force it on the small fixture so the unpack is
+    covered."""
+    monkeypatch.setenv("MINIASM_TPU_PACKIO", "0")
+    ref_out = run_ref(ref_miniasm, [sim_small["paf"]])
+    our_out = run_ours([sim_small["paf"]])
+    assert our_out == ref_out
