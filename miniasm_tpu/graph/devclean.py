@@ -71,7 +71,7 @@ def _ladder(x: int) -> int:
     return 8 << k
 
 
-def build_arcs(g: Graph):
+def build_arcs(g: Graph, min_div: int = 1):
     """Compacted per-arc columns + per-vertex delete bits for the device
     table build.  Shapes are padded to power-of-two buckets so repeated
     detections within a run (after commits shrink the graph) reuse the
@@ -88,6 +88,10 @@ def build_arcs(g: Graph):
     V = g.n_vtx
     D = max(int(g.idx_cnt.max()) if g.n_arc else 1, 1)
     Vp = _ladder(max(V, 2))
+    if min_div > 1 and Vp % min_div:
+        # mesh path: the chunked lax.map must split Vp evenly over
+        # pow2(n_devices) chunks; ladder values are divisible by 16 only
+        Vp = _pow2(max(V, 2, min_div))
     Dp = _pow2(D)
     Ap = _ladder(max(g.n_arc, 1))
     # int32 columns always: sub-word device arrays hit a pathological
@@ -348,7 +352,10 @@ def detect(g: Graph, opt, *, do_trans: bool, do_symm: bool = True,
     from ..utils.timers import add_extra
 
     t0 = _time.time()
-    cols, pack_lol, sdel_v, V, Vp, Dp, Ap = build_arcs(g)
+    min_div = 1
+    if mesh is not None:
+        min_div = _pow2(mesh.devices.size)
+    cols, pack_lol, sdel_v, V, Vp, Dp, Ap = build_arcs(g, min_div=min_div)
     add_extra("clean.build_s", _time.time() - t0)
     ratios = _ratio_schedule(opt)
     n_chunks = 1

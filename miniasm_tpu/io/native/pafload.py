@@ -353,8 +353,7 @@ class HitsMt:
 
 
 def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
-                 min_iden=0.05, n_workers=2, upload=True, block_bytes=0,
-                 rank_async=False):
+                 min_iden=0.05, n_workers=2, upload=True, block_bytes=0):
     """Pipelined loader: reader + parser threads tokenize and chunk-intern
     while the consumer globalizes ids in order and device_puts fixed-size
     (7, 2^19) pieces, so parsing, H2D transfer, and (via the later
@@ -467,6 +466,12 @@ def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
                 mixed = True
                 if n == 0:
                     continue  # stream not done; re-read this piece 7-row
+                # truncate the partial packed piece to its real records:
+                # a zero-padded middle would shift every later device
+                # column off its C++ g_*/rank index (key_fetch/arc_ranks
+                # address by raw column)
+                buf = np.ascontiguousarray(buf[:, :n])
+                sz = n
             elif n == 0 and n_pieces:
                 break
             upq.put(buf)
@@ -474,11 +479,6 @@ def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
             cap += sz
             if n < sz and not switched:
                 break
-        if rank_async:
-            # the stream is fully parsed: start the exact-permutation
-            # sort now so it overlaps the upload tail, the device
-            # kernel, AND the fetch (the widest window available)
-            lib.ma_mt_rank_async(res)
         # pad the total capacity to the shape-bucket ladder with zero
         # pieces (inert rows) so the kernel's compiled shape recurs
         # across different input sizes
@@ -503,6 +503,5 @@ def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
     else:
         colmat_dev = pieces[0] if len(pieces) == 1 else _concat_jit(*pieces)
     h = HitsMt(lib, res, cap=cap)
-    h._async = bool(rank_async)
     d = h.seqdict()
     return colmat_dev, d, h

@@ -478,9 +478,14 @@ int64_t mt_next_impl(MtState* st, int32_t* out, int64_t want) {
                 st->pack_fail = true;
                 break;
             }
+            // all four coordinates must fit 16 bits: malformed lines can
+            // carry qs > qe (the reference keeps them with full 32-bit
+            // coordinates — the unsigned span wrap passes the filter), so
+            // checking the ends alone could truncate a start coordinate
             int64_t good = 0;
-            while (good < take && ck->qe[o + good] <= 65535u &&
-                   ck->te[o + good] <= 65535u)
+            while (good < take && ck->qs[o + good] <= 65535u &&
+                   ck->qe[o + good] <= 65535u &&
+                   ck->ts[o + good] <= 65535u && ck->te[o + good] <= 65535u)
                 ++good;
             if (good < take) {
                 st->pack_fail = true;

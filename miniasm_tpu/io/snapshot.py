@@ -30,7 +30,7 @@ def _paf_key(paf_fn: str) -> dict:
 
 
 def save_graph_state(dirn: str, paf_fn: str, opt, d, g, sub_s, sub_e,
-                     sub_del) -> None:
+                     sub_del, bi_dir: bool = True) -> None:
     """Persist the post-Step-3 state (graph built, pre-cleaning)."""
     os.makedirs(dirn, exist_ok=True)
     np.savez_compressed(
@@ -43,7 +43,8 @@ def save_graph_state(dirn: str, paf_fn: str, opt, d, g, sub_s, sub_e,
         names=np.array("\0".join(d.names).encode("latin-1")),
         flags=np.array([int(g.is_symm), int(g.is_srt)], np.int32))
     meta = {"format": FORMAT, "key": _paf_key(paf_fn),
-            "opt": _opt_fields(opt), "n_seq": d.n_seq}
+            "opt": _opt_fields(opt), "bi_dir": bool(bi_dir),
+            "n_seq": d.n_seq}
     with open(os.path.join(dirn, "meta.json"), "w") as f:
         json.dump(meta, f)
 
@@ -53,9 +54,9 @@ def _opt_fields(opt) -> dict:
             if not k.startswith("_")}
 
 
-def load_graph_state(dirn: str, paf_fn: str, opt):
+def load_graph_state(dirn: str, paf_fn: str, opt, bi_dir: bool = True):
     """Return (d, g, sub_s, sub_e, sub_del) when a valid snapshot for
-    this (PAF, options) pair exists, else None."""
+    this (PAF, options, bi_dir) triple exists, else None."""
     meta_fn = os.path.join(dirn, "meta.json")
     npz_fn = os.path.join(dirn, "state.npz")
     if not (os.path.exists(meta_fn) and os.path.exists(npz_fn)):
@@ -69,6 +70,8 @@ def load_graph_state(dirn: str, paf_fn: str, opt):
     if meta.get("key") != _paf_key(paf_fn):
         return None
     if meta.get("opt") != _opt_fields(opt):
+        return None
+    if meta.get("bi_dir") != bool(bi_dir):
         return None
     z = np.load(npz_fn)
     from ..graph.asg import Graph

@@ -60,7 +60,7 @@ def run(paf_fn: str, opt: Opt, *, outfmt: str = "ug", fn_reads: str | None = Non
         # a snapshot for this (PAF, options) pair exists
         from .io.snapshot import load_graph_state
 
-        st = load_graph_state(snapshot_dir, paf_fn, opt)
+        st = load_graph_state(snapshot_dir, paf_fn, opt, bi_dir=bi_dir)
         if st is not None:
             d, g, sub_s, sub_e, sub_del = st
             sys.stderr.write("[M::main] ===> Steps 1-3 restored from "
@@ -227,7 +227,7 @@ def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir,
         from .io.snapshot import save_graph_state
 
         save_graph_state(snapshot_dir, paf_fn, opt, d, g, sub_s, sub_e,
-                         sub_del)
+                         sub_del, bi_dir=bi_dir)
         tick("snapshot")
     r = _emit(paf_fn, opt, outfmt, fn_reads, stage, out, d, None,
               sub_s, sub_e, sub_del, prebuilt=g)

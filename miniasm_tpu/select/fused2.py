@@ -468,15 +468,11 @@ def _next_pow2(x: int) -> int:
     return n
 
 
-def select_build2(colmat_dev, d, opt, *, bi_dir: bool, max_len: int,
-                  on_dispatch=None):
+def select_build2(colmat_dev, d, opt, *, bi_dir: bool, max_len: int):
     """Run the dual-sided kernel; returns (arcs dict with idx, meta dict,
-    counts list).  `on_dispatch`, when given, is called after the kernel is
-    dispatched and before the blocking fetch (the native loader uses it to
-    build the exact-radix rank table on the CPU while the device works).
-    Records device-vs-transfer attribution into utils.timers.EXTRA:
-    select.kernel_s (dispatch -> counts on host, i.e. device compute +
-    queue) and select.fetch_s (arc+meta D2H)."""
+    counts list).  Records device-vs-transfer attribution into
+    utils.timers.EXTRA: select.kernel_s (dispatch -> counts on host, i.e.
+    device compute + queue) and select.fetch_s (arc+meta D2H)."""
     import time as _time
 
     from ..utils.timers import add_extra
@@ -495,7 +491,6 @@ def select_build2(colmat_dev, d, opt, *, bi_dir: bool, max_len: int,
     # capacity covers fragmented coverage profiles, with a doubling retry
     # (validated via counts[11:13]) for pathological inputs
     tr_cap = min(_next_pow2(max(1 << 17, 4 * n_seq_cap)), 4 * cap)
-    dispatched = False
     # small arc capacity (<= 4 MB transfer): fetch arcs+meta+counts in ONE
     # device_get, skipping a sync round trip and the slice dispatch —
     # round trips cost ~28 ms each on the tunnel, a visible fraction of an
@@ -509,9 +504,6 @@ def select_build2(colmat_dev, d, opt, *, bi_dir: bool, max_len: int,
             int_frac=float(opt.int_frac), min_ovlp=opt.min_ovlp,
             bi_dir=bi_dir, pack_se=pack_se, arc_cap=arc_cap, pack_io=pack_io,
             pack15=pack15, tr_cap=tr_cap)
-        if not dispatched and on_dispatch is not None:
-            on_dispatch()
-            dispatched = True
         if small_fetch:
             arcmat_h, meta_h, counts = jax.device_get((arcmat, meta,
                                                        counts))

@@ -177,3 +177,77 @@ def test_mt_loader_multichunk(sim_small):
     assert np.array_equal(h1.arc_ranks(idx1), h2.arc_ranks(idx2))
     h1.free()
     h2.free()
+
+
+@pytest.mark.skipif(not available(), reason="native lib unavailable")
+def test_mt_loader_mid_stream_pack_switch(tmp_path):
+    """A record whose coordinates exceed 16 bits mid-stream switches the
+    packed piece format to 7-row; device column indices must stay aligned
+    with the C++ g_* arrays (key_fetch/arc_ranks address by raw column),
+    i.e. no zero-padded hole may appear mid-stream."""
+    from miniasm_tpu.io.native.pafload import load_hits_mt, load_hits_v2
+
+    p = tmp_path / "mix.paf"
+    lines = []
+    for i in range(50):
+        lines.append("s%d\t30000\t10\t25000\t+\tt%d\t30000\t100\t25100\t"
+                     "20000\t25000" % (i, (i + 1) % 50))
+    # the 51st record needs 17-bit coordinates -> pack fails there
+    lines.append("big\t100000\t70000\t96000\t+\tother\t100000\t200\t26200\t"
+                 "20000\t26000")
+    for i in range(50, 80):
+        lines.append("s%d\t30000\t10\t25000\t+\tt%d\t30000\t100\t25100\t"
+                     "20000\t25000" % (i, (i + 1) % 80))
+    p.write_text("\n".join(lines) + "\n")
+
+    c1, d1, h1 = load_hits_v2(str(p), 2000, 100)
+    c2, d2, h2 = load_hits_mt(str(p), 2000, 100)
+    n = h1.n_orig
+    assert h2.n_orig == n and n == 81
+    a1 = np.asarray(c1)
+    a2 = np.asarray(c2)
+    assert a2.shape[0] == 7, "mixed stream must unpack to 7-row"
+    assert np.array_equal(a1[:, :n], a2[:, :n])
+    # the exact-rank and key fetch must agree column-for-column
+    idx1 = np.concatenate([np.arange(n), h1.cap + np.arange(n)])
+    idx2 = np.concatenate([np.arange(n), h2.cap + np.arange(n)])
+    assert np.array_equal(h1.arc_ranks(idx1), h2.arc_ranks(idx2))
+    want = (a1[0, :n].astype(np.uint64) << 32) | a1[1, :n].astype(np.uint64)
+    assert np.array_equal(h2.key_fetch(np.arange(n)), want)
+    h1.free()
+    h2.free()
+
+
+@pytest.mark.skipif(not available(), reason="native lib unavailable")
+def test_mt_loader_wrapped_coordinate_record(tmp_path):
+    """A malformed qs>qe record (kept by the reference: the unsigned span
+    wrap passes the filter) must not be coordinate-truncated by the packed
+    format even when its END coordinates fit 16 bits."""
+    from miniasm_tpu.io.native.pafload import load_hits_mt, load_hits_v2
+
+    p = tmp_path / "wrap.paf"
+    lines = ["a\t9000\t0\t5000\t+\tb\t9000\t100\t5100\t4000\t5000",
+             # qs=70000 > qe=100: qe-qs wraps huge -> passes min_span
+             "c\t9000\t70000\t100\t+\td\t9000\t100\t5100\t4000\t5000",
+             "e\t9000\t0\t5000\t+\tf\t9000\t100\t5100\t4000\t5000"]
+    p.write_text("\n".join(lines) + "\n")
+    c1, d1, h1 = load_hits_v2(str(p), 2000, 100)
+    c2, d2, h2 = load_hits_mt(str(p), 2000, 100)
+    n = h1.n_orig
+    assert n == 3
+    a1 = np.asarray(c1)
+    a2 = np.asarray(c2)
+    if a2.shape[0] == 4:  # whole stream packed: unpack for comparison
+        w0 = a2[0].astype(np.uint32)
+        qsqe = a2[2].astype(np.uint32)
+        tste = a2[3].astype(np.uint32)
+        a2 = np.stack([
+            (w0 & 0x0FFFFFFF).astype(np.int32),
+            (qsqe >> 16).astype(np.int32), (qsqe & 0xFFFF).astype(np.int32),
+            a2[1],
+            (tste >> 16).astype(np.int32), (tste & 0xFFFF).astype(np.int32),
+            (w0 >> 28).astype(np.int32)])
+    assert np.array_equal(a1[:, :n], a2[:, :n])
+    assert a1[1, 1] == 70000  # the wrapped start survived intact
+    h1.free()
+    h2.free()
