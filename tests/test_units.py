@@ -92,3 +92,77 @@ def test_hit2arc_arc_fields():
     assert int(out["v"][0]) == 7 << 1 | 0
     assert int(out["l"][0]) == 5000
     assert int(out["ol"][0]) == 5000
+
+
+def test_sweep_events_matches_naive_sweep():
+    """Property test for the transition-compaction sweep core
+    (select/fused2.sweep_events) against a direct per-segment numpy sweep
+    of the reference rule (hit.c:109-160: longest depth>=min_dp region,
+    FIRST on ties): random event sets with presence-only segments, BIG
+    (skipped) events, ties at equal positions, multi-region segments, and
+    a tr_cap small enough to force the overflow report."""
+    import numpy as np
+
+    from miniasm_tpu.select.fused2 import sweep_events, BIG
+
+    rng = np.random.default_rng(7)
+    for trial in range(12):
+        T = int(rng.integers(4, 40))
+        n_iv = int(rng.integers(0, 200))
+        min_dp = int(rng.integers(1, 4))
+        seg_l, key_l = [], []
+        for _ in range(n_iv):
+            s = int(rng.integers(0, T))
+            a = int(rng.integers(0, 500))
+            b = a + int(rng.integers(1, 120))
+            seg_l += [s, s]
+            key_l += [a * 2, b * 2 + 1]
+        # skipped events keep their real segment id (valid row, not-ok
+        # side) -> presence without coverage
+        for _ in range(int(rng.integers(0, 10))):
+            seg_l.append(int(rng.integers(0, T)))
+            key_l.append(int(BIG))
+        # padding rows
+        for _ in range(int(rng.integers(0, 16))):
+            seg_l.append(T)
+            key_l.append(int(BIG))
+        seg = np.asarray(seg_l, np.int32)
+        key = np.asarray(key_l, np.int32)
+
+        s_o, e_o, del_o, has_o, n_rem, n_tr = [
+            np.asarray(x) for x in sweep_events(
+                np.asarray(seg), np.asarray(key), None, T, min_dp, 0, False)]
+
+        # naive: per segment, sweep sorted events
+        for t in range(T):
+            evs = sorted((key[i] for i in range(len(seg))
+                          if seg[i] == t and key[i] != BIG))
+            present = bool(np.any(seg[:len(seg_l)] == t))
+            best_len, best_s, best_e = 0, 0, 0
+            depth = 0
+            cur_s = None
+            for k in evs:
+                pos, is_end = k >> 1, k & 1
+                od = depth
+                depth += -1 if is_end else 1
+                if od < min_dp <= depth:
+                    cur_s = pos
+                elif od >= min_dp > depth:
+                    if pos - cur_s > best_len:
+                        best_len, best_s, best_e = pos - cur_s, cur_s, pos
+            if not present:
+                assert not has_o[t]
+                continue
+            assert has_o[t]
+            if best_len > 0:
+                assert (int(s_o[t]), int(e_o[t])) == (best_s, best_e), \
+                    (trial, t)
+                assert not del_o[t]
+            else:
+                assert del_o[t]
+
+    # overflow reporting: a tiny tr_cap must be reflected in n_tr > cap
+    seg = np.asarray([0, 0, 1, 1, 2, 2, 3, 3], np.int32)
+    key = np.asarray([0, 11, 2, 13, 4, 15, 6, 17], np.int32)
+    out = sweep_events(seg, key, None, 4, 1, 0, False, tr_cap=2)
+    assert int(out[5]) > 2
