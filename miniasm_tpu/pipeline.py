@@ -54,7 +54,7 @@ def run(paf_fn: str, opt: Opt, *, outfmt: str = "ug", fn_reads: str | None = Non
     out = out or sys.stdout
 
     fast_ug = (not no_first and not no_second and stage >= 5
-               and outfmt in ("ug", "sg"))
+               and outfmt in ("ug", "sg", "bed"))
     if snapshot_dir and fast_ug and not no_cont:
         # stage-boundary restore (SURVEY §5): skip Steps 1-3 entirely when
         # a snapshot for this (PAF, options) pair exists
@@ -193,6 +193,17 @@ def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir,
     sys.stderr.write("[M::main] ===> Step 3: 2-pass (fine) read selection <===\n")
     log("hit_sub", "%d query sequences remain after sub", n_rem2)
     log("hit_cut", "%d hits remain after cut", n_cut2)
+
+    if outfmt == "bed":
+        # sub-interval dump (-p bed): merged trim tables + containment
+        # deletions straight from the kernel meta; no arc ordering needed
+        d.mark_deleted(md["sub_del"] | md["cont"])
+        d.mark_deleted(~md["used"])
+        h3.free()
+        print_subs(d, md["sub_s"], md["sub_e"], out)
+        tick("emit_done")
+        _tick_t0.pop("t0", None)
+        return None
 
     # Restore the reference's arc insertion order (the exact ksort radix
     # permutation of the mirrored hit array, hit.c:100) over the surviving
