@@ -85,11 +85,13 @@ def _carry_seed(paf_fn: str, off: int) -> int | None:
             win *= 4
 
 
-def extract_range(paf_fn: str, off: int, end: int, out_fn: str):
+def extract_range(paf_fn: str, off: int, end: int, out_fn: str) -> bool:
     """Copy [off, end) to out_fn; if the range starts mid-file, prepend a
     synthetic 11-field line that FAILS the span filter but seeds the
     bl-carry (parse updates the carry before the filters, so the line
-    contributes no record and interns no name)."""
+    contributes no record and interns no name).  Returns whether a seed
+    line was written (it still counts in the parser's n_lines total, so
+    the caller subtracts it to keep log counters reference-identical)."""
     with open(out_fn, "wb") as out:
         seed = _carry_seed(paf_fn, off)
         if seed is not None:
@@ -103,6 +105,7 @@ def extract_range(paf_fn: str, off: int, end: int, out_fn: str):
                     break
                 out.write(chunk)
                 left -= len(chunk)
+    return seed is not None
 
 
 # ---------------------------------------------------------------------------
@@ -158,7 +161,7 @@ def _load_local(paf_fn, opt, rng, tmpdir):
     LOCAL ids + the local name table (first-appearance order)."""
     off, end = rng
     part = os.path.join(tmpdir, "part_%d.paf" % off)
-    extract_range(paf_fn, off, end, part)
+    seeded = extract_range(paf_fn, off, end, part)
     try:
         from ..io.native import available
     except ImportError:
@@ -171,7 +174,7 @@ def _load_local(paf_fn, opt, rng, tmpdir):
                                  upload=False)
         n = h3.n_orig
         cols = cm[:, :n].copy()
-        stats = (h3.n_lines, h3.n_mirror)
+        stats = (h3.n_lines - int(seeded), h3.n_mirror)
         h3.free()
     else:
         from ..io.paf import load_paf
@@ -188,7 +191,7 @@ def _load_local(paf_fn, opt, rng, tmpdir):
                          load.tid.astype(np.int32),
                          load.ts.astype(np.int32), load.te.astype(np.int32),
                          flags])
-        stats = (load.n_lines,
+        stats = (load.n_lines - int(seeded),
                  n + int(np.sum(load.qid != load.tid)))
     os.unlink(part)
     return cols, d, stats

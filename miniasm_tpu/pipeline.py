@@ -200,6 +200,9 @@ def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir,
         d.mark_deleted(md["sub_del"] | md["cont"])
         d.mark_deleted(~md["used"])
         h3.free()
+        log("hit_contained", "%d sequences and %d hits remain after "
+            "containment removal",
+            int(np.sum(~d.del_array())), m_cont)
         print_subs(d, md["sub_s"], md["sub_e"], out)
         tick("emit_done")
         _tick_t0.pop("t0", None)

@@ -92,9 +92,11 @@ def _sub_pass(qid, tid, cqs, cqe, cts, cte, vq, vm, iden, not_self,
     avoids all full-size gathers/scatters: one 2-key event sort, a depth
     cumsum, then a SECOND sort that compacts the few depth transitions to
     the front (see sweep_events), after which all segment logic runs at
-    transition scale (~2 per read).  has_query comes from one
-    searchsorted over the sorted seg column (~30 us for 524K queries)
-    instead of two N-source scatters (~250 ms).  The per-segment depth
+    transition scale (~2 per read).  has_query rides the same compaction
+    (each segment's first event row is included, then presence is one
+    transition-scale segment_max) instead of two N-source scatters
+    (~250 ms) or a searchsorted (whose while-loop lowering costs ~210 ms
+    at this size).  The per-segment depth
     rebase is free: every ok side contributes a (+1,-1) pair, so segment
     sums are zero and the global cumsum IS the segment-local depth."""
     segpad = jnp.int32(T)
@@ -418,9 +420,14 @@ def _select2_kernel(colmat, *, n_seq_cap, min_span, min_dp, max_hang,
     n_arc = jnp.sum(arc_rows)
     # compact the arc row indices with a 1-key sort (ascending iota of the
     # selected rows == nonzero order); ~2x cheaper than nonzero's
-    # cumsum+scatter lowering at this size
-    idx = jax.lax.sort([jnp.where(arc_rows, jnp.arange(2 * n, dtype=I32),
-                                  BIG)], num_keys=1)[0][:arc_cap]
+    # cumsum+scatter lowering at this size.  arc_cap can exceed the 2n row
+    # count (pow2 retry caps vs ladder-quantized n): pad, don't slice.
+    sidx = jax.lax.sort([jnp.where(arc_rows, jnp.arange(2 * n, dtype=I32),
+                                   BIG)], num_keys=1)[0]
+    if arc_cap <= 2 * n:
+        idx = sidx[:arc_cap]
+    else:
+        idx = jnp.concatenate([sidx, jnp.full(arc_cap - 2 * n, BIG, I32)])
     idx = jnp.minimum(idx, 2 * n - 1)
     ok = jnp.arange(arc_cap, dtype=I32) < n_arc
     if pack_io:

@@ -4,30 +4,18 @@ These used to lower to jax.lax.associative_scan over small tuples, but the
 TPU compiler's time on an associative_scan grows catastrophically with
 array length (measured on v5e: fine at 3.5M rows, compile does NOT finish
 within 15 minutes at 14M rows).  jax.lax.cummax/cumsum compile in seconds
-at any size, so every helper is now built from native cumulative ops plus
-one gather:
+at any size, so the helper is built from native scatter reductions.
 
-  - ffill(flag, val): per row, the most recent `val` at or before it where
-    `flag` was set (undefined before the first flag; callers guarantee one)
-    == val[cummax(flag ? row : 0)];
-  - seg_reduce_argmax(seg, val, T): per-segment (max, first argmax row).
-
-Gathers cost ~7 ns/index on v5e, so the gather formulation adds ~0.1 s per
-14M rows at runtime — noise next to the minutes of compile it saves.
+(The former ffill helper — cummax of flagged row ids plus one gather —
+was removed when the select sweep switched to transition compaction: a
+56M-element forward-fill gather costs ~1.25 s on v5e, ~half the whole
+kernel, which is exactly why no production path uses that shape anymore.)
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-
-
-def ffill(flag, val):
-    """Forward-fill `val` from rows where `flag` is true."""
-    n = flag.shape[0]
-    idx = jnp.where(flag, jnp.arange(n, dtype=jnp.int32), jnp.int32(0))
-    last = jax.lax.cummax(idx)
-    return val[last]
 
 
 def seg_reduce_argmax(seg, val, num_segments: int):

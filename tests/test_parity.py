@@ -156,6 +156,16 @@ def test_gz_paf_through_cli(ref_miniasm, sim_noisy, tmp_path):
     assert ref_out == run_ref(ref_miniasm, [sim_noisy["paf"]])
 
 
+def _native_available():
+    try:
+        from miniasm_tpu.io.native import available
+
+        return available()
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _native_available(), reason="native lib unavailable")
 def test_duplicate_graph_key_parity(ref_miniasm, tmp_path):
     """Two surviving arcs sharing the exact (u<<32|l) graph sort key force
     the exact-rank fallback in the fast order path (pipeline._run_fast_v2);
