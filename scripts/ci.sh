@@ -10,6 +10,9 @@ python -m pytest tests/ -q
 echo "=== ASan/UBSan (native C++ layer) ==="
 bash scripts/asan.sh
 
+echo "=== TSan (native C++ threading) ==="
+bash scripts/tsan.sh
+
 echo "=== driver entry points ==="
 JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
 python -c "
