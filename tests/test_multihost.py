@@ -53,7 +53,7 @@ def _run_multihost(paf, out_base, n_procs, dev_per_proc=2):
     return outs[0]
 
 
-@pytest.mark.parametrize("n_procs", [2])
+@pytest.mark.parametrize("n_procs", [2, 4])
 def test_multihost_byte_parity(tmp_path, n_procs):
     from miniasm_tpu.eval.simulate import simulate, write_paf
 
