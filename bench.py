@@ -136,10 +136,14 @@ def bench_config(genome_len, coverage, exe, *, ours_reps=3, ref_reps=2,
     else:
         ref, vs = 0.0, 0.0
     n_ovlp = count_overlaps(paf)
+    import resource
+
+    rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
     out = {"value": round(ours, 3), "vs_baseline": round(vs, 3),
            "overlaps": n_ovlp,
            "overlaps_per_s": round(n_ovlp / ours) if ours else 0,
            "ref_s": round(ref, 3), "cold_s": round(cold, 3),
+           "host_peak_rss_mb": rss_mb,
            "stages": stages, "substages": substages,
            "genome_len": genome_len, "coverage": coverage}
     if fa:
