@@ -89,6 +89,100 @@ struct Block {
     std::string data;  // whole lines only
 };
 
+// Open-addressing string -> id map (linear probing, 64-bit mixed hash).
+// The interning path does one lookup per line (27.6M at worm scale), and
+// std::unordered_map's node allocations + std::hash dominated the parse
+// (measured: tokenize+filter alone is ~1.0 s, the full parse was ~5x
+// that).  Insertion order semantics are identical: ids are assigned in
+// first-appearance order by the caller.
+struct FlatDict {
+    std::vector<uint64_t> hs;
+    std::vector<int32_t> ids;
+    std::vector<const char*> keys;
+    std::vector<uint32_t> lens;
+    size_t mask = 0, used = 0;
+
+    void init(size_t want) {
+        size_t c = 16;
+        while (c < want * 2) c <<= 1;
+        hs.assign(c, 0);
+        ids.assign(c, -1);
+        keys.assign(c, nullptr);
+        lens.assign(c, 0);
+        mask = c - 1;
+        used = 0;
+    }
+    static inline uint64_t hsh(const char* s, size_t len) {
+        uint64_t h = 0x9E3779B97F4A7C15ull ^
+                     (static_cast<uint64_t>(len) * 0xff51afd7ed558ccdull);
+        while (len >= 8) {
+            uint64_t k;
+            std::memcpy(&k, s, 8);
+            k *= 0xff51afd7ed558ccdull;
+            k = (k << 31) | (k >> 33);
+            h = (h ^ k) * 0xc4ceb9fe1a85ec53ull;
+            s += 8;
+            len -= 8;
+        }
+        uint64_t k = 0;
+        for (size_t i = 0; i < len; ++i)
+            k |= static_cast<uint64_t>(static_cast<unsigned char>(s[i]))
+                 << (8 * i);
+        h = (h ^ (k * 0xff51afd7ed558ccdull)) * 0xc4ceb9fe1a85ec53ull;
+        h ^= h >> 29;
+        return h | 1;  // 0 marks an empty slot
+    }
+    // find the slot for (s, len); returns the id or -1 (slot_out set for
+    // the subsequent put)
+    inline int32_t find(const char* s, size_t len, uint64_t h,
+                        size_t* slot_out) const {
+        size_t i = h & mask;
+        for (;;) {
+            if (hs[i] == 0) {
+                *slot_out = i;
+                return -1;
+            }
+            if (hs[i] == h && lens[i] == len &&
+                std::memcmp(keys[i], s, len) == 0)
+                return ids[i];
+            i = (i + 1) & mask;
+        }
+    }
+    inline void put(size_t slot, uint64_t h, const char* stable, size_t len,
+                    int32_t id) {
+        hs[slot] = h;
+        ids[slot] = id;
+        keys[slot] = stable;
+        lens[slot] = static_cast<uint32_t>(len);
+        if (++used * 10 >= (mask + 1) * 7) grow();
+    }
+    void grow() {
+        std::vector<uint64_t> oh;
+        std::vector<int32_t> oi;
+        std::vector<const char*> ok;
+        std::vector<uint32_t> ol;
+        oh.swap(hs);
+        oi.swap(ids);
+        ok.swap(keys);
+        ol.swap(lens);
+        size_t c = (mask + 1) * 2;
+        hs.assign(c, 0);
+        ids.assign(c, -1);
+        keys.assign(c, nullptr);
+        lens.assign(c, 0);
+        mask = c - 1;
+        for (size_t j = 0; j < oh.size(); ++j) {
+            if (oh[j] == 0) continue;
+            size_t i = oh[j] & mask;
+            while (hs[i] != 0) i = (i + 1) & mask;
+            hs[i] = oh[j];
+            ids[i] = oi[j];
+            keys[i] = ok[j];
+            lens[i] = ol[j];
+        }
+    }
+};
+
 struct Chunk {
     int64_t seq = -1;
     int64_t n_lines = 0;
@@ -133,7 +227,7 @@ struct MtState {
     std::vector<std::thread> threads;
 
     // consumer state (globalization)
-    std::unordered_map<std::string_view, int32_t> gdict;
+    FlatDict gdict;
     std::vector<const char*> gnames;
     std::vector<uint32_t> gname_len;
     std::vector<uint32_t> gseq_len;
@@ -232,17 +326,19 @@ void parse_block(MtState* st, Block& blk, Chunk* ck) {
     const char* end = p + blk.data.size();
     // chunk-local interning with a previous-query fast path (PAF is
     // grouped by query, so most lines repeat the previous qname)
-    std::unordered_map<std::string_view, int32_t> dict;
-    dict.reserve(1 << 12);
+    FlatDict dict;
+    dict.init(1 << 12);
     const char* prev_q = nullptr;
     size_t prev_qlen = 0;
     int32_t prev_qid = -1;
     auto put = [&](const char* s, size_t len, uint32_t l) -> int32_t {
-        auto it = dict.find(std::string_view(s, len));
-        if (it != dict.end()) return it->second;
+        uint64_t h = FlatDict::hsh(s, len);
+        size_t slot;
+        int32_t got = dict.find(s, len, h, &slot);
+        if (got >= 0) return got;
         const char* stable = ck->arena.intern(s, len);
         int32_t id = static_cast<int32_t>(ck->names.size());
-        dict.emplace(std::string_view(stable, len), id);
+        dict.put(slot, h, stable, len, id);
         ck->names.push_back(stable);
         ck->name_len.push_back(static_cast<uint32_t>(len));
         ck->seq_len.push_back(l);
@@ -385,16 +481,20 @@ Chunk* take_chunk(MtState* st, std::vector<int32_t>& gmap) {
     if (ck->has_bl) st->carry_bl = ck->tail_bl;
     st->n_lines += ck->n_lines;
     // local -> global ids (one dict op per distinct name per chunk)
+    if (st->gdict.mask == 0) st->gdict.init(1 << 15);
     gmap.resize(ck->names.size());
     for (size_t i = 0; i < ck->names.size(); ++i) {
-        std::string_view key(ck->names[i], ck->name_len[i]);
-        auto it = st->gdict.find(key);
-        if (it != st->gdict.end()) {
-            gmap[i] = it->second;
+        const char* nm = ck->names[i];
+        size_t len = ck->name_len[i];
+        uint64_t h = FlatDict::hsh(nm, len);
+        size_t slot;
+        int32_t got = st->gdict.find(nm, len, h, &slot);
+        if (got >= 0) {
+            gmap[i] = got;
         } else {
             int32_t id = static_cast<int32_t>(st->gnames.size());
-            st->gdict.emplace(key, id);
-            st->gnames.push_back(ck->names[i]);
+            st->gdict.put(slot, h, nm, len, id);
+            st->gnames.push_back(nm);
             st->gname_len.push_back(ck->name_len[i]);
             st->gseq_len.push_back(ck->seq_len[i]);
             if (ck->seq_len[i] > st->max_len) st->max_len = ck->seq_len[i];
