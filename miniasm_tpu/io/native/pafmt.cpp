@@ -324,6 +324,18 @@ inline uint32_t parse_u32(const char* s, const char* e) {
 void parse_block(MtState* st, Block& blk, Chunk* ck) {
     const char* p = blk.data.data();
     const char* end = p + blk.data.size();
+    // pre-size the record columns from the block's byte count (PAF lines
+    // are ~70-90 B) so the 9 per-record appends never reallocate mid-chunk
+    const size_t est = blk.data.size() / 70 + 8;
+    ck->qid.reserve(est);
+    ck->tid.reserve(est);
+    ck->qs.reserve(est);
+    ck->qe.reserve(est);
+    ck->ts.reserve(est);
+    ck->te.reserve(est);
+    ck->ml.reserve(est);
+    ck->bl.reserve(est);
+    ck->rev.reserve(est);
     // chunk-local interning with a previous-query fast path (PAF is
     // grouped by query, so most lines repeat the previous qname)
     FlatDict dict;
