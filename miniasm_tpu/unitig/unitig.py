@@ -102,36 +102,34 @@ def ug_gen(g: Graph) -> UnitigGraph:
         units.append(Unitig(len=length, circ=circ, start=start, end=end,
                             a=list(q)))
 
-    # unitig-level arcs (asm.c:184-207)
+    # unitig-level arcs (asm.c:184-207), vectorized over the live arc list
+    # (arc order preserved, so the utg-graph arc array matches the
+    # reference's append order exactly)
     vmark = np.full(n_vtx, -1, dtype=np.int64)
     for i, ut in enumerate(units):
         if ut.circ:
             continue
         vmark[ut.start] = i << 1 | 0
         vmark[ut.end] = i << 1 | 1
-    uu, ul, uv, uol = [], [], [], []
-    for i in range(g.n_arc):
-        if g.adel[i]:
-            continue
-        su = int(g.u[i])
-        sv = int(g.v[i])
-        if vmark[su ^ 1] >= 0 and vmark[sv] >= 0:
-            u2 = int(vmark[su ^ 1]) ^ 1
-            l2 = units[u2 >> 1].len - int(g.ol[i])
-            if l2 < 0:
-                l2 = 1
-            uu.append(u2)
-            ul.append(l2)
-            uv.append(int(vmark[sv]))
-            uol.append(int(g.ol[i]))
     nu = len(units)
+    ulens = np.asarray([ut.len for ut in units], dtype=np.int64)
+    live = ~g.adel
+    su = g.u[live].astype(np.int64)
+    sv = g.v[live].astype(np.int64)
+    aol = g.ol[live].astype(np.int64)
+    m1 = vmark[su ^ 1]
+    m2 = vmark[sv]
+    sel = (m1 >= 0) & (m2 >= 0)
+    u2 = m1[sel] ^ 1
+    l2 = ulens[u2 >> 1] - aol[sel]
+    l2 = np.where(l2 < 0, 1, l2)  # reference clamps only NEGATIVE to 1
     ug_g = Graph(
-        u=np.asarray(uu, dtype=np.int32),
-        l=np.asarray(ul, dtype=np.int32),
-        v=np.asarray(uv, dtype=np.int32),
-        ol=np.asarray(uol, dtype=np.int32),
-        adel=np.zeros(len(uu), dtype=bool),
-        slen=np.asarray([ut.len for ut in units], dtype=np.uint32),
+        u=u2.astype(np.int32),
+        l=l2.astype(np.int32),
+        v=m2[sel].astype(np.int32),
+        ol=aol[sel].astype(np.int32),
+        adel=np.zeros(int(sel.sum()), dtype=bool),
+        slen=ulens.astype(np.uint32),
         sdel=np.zeros(nu, dtype=bool),
         idx_start=np.zeros(2 * nu, dtype=np.int64),
         idx_cnt=np.zeros(2 * nu, dtype=np.int32),
