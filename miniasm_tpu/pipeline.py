@@ -267,6 +267,13 @@ _tick_t0: dict = {}
 
 def _emit(paf_fn, opt, outfmt, fn_reads, stage, out, d, hits,
           sub_s, sub_e, sub_del, prebuilt=None, mesh=None):
+    if outfmt in ("bed", "paf") and sub_s is None:
+        # the flag combination never ran a selection pass (-1 with -S<4,
+        # or -1 -2): the reference dereferences a NULL sub table here
+        # (main.c print_subs/print_hits) — fail gracefully instead
+        sys.stderr.write("[W::main] no selection pass ran (-1/-2/-S); "
+                         "nothing to print for -p %s\n" % outfmt)
+        return None
     if outfmt == "bed":
         print_subs(d, sub_s, sub_e, out)
         return None
