@@ -181,6 +181,15 @@ def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir,
         int(np.sum(d.lens_array(), dtype=np.uint64)))
 
     sys.stderr.write("[M::main] ===> Step 2: 1-pass (crude) read selection <===\n")
+    # Speculative rank build: duplicate graph keys (which force the full
+    # exact-permutation sort, see the order step below) are an
+    # arc-count birthday problem — absent at 27.6M mirrored hits,
+    # present by 55M (measured).  Above the threshold, start the sort on
+    # a side thread now so a fallback finds it (mostly) done; below it,
+    # the sort would be pure wasted contention with the tunnel client.
+    speculate = (h3.n_mirror >= 40_000_000 and hasattr(h3, "rank_async"))
+    if speculate:
+        h3.rank_async()
     arcs, md, counts = select_build2(
         colmat_dev, d, opt, bi_dir=bi_dir, max_len=h3.max_len)
     tick("select+fetch")
@@ -225,12 +234,20 @@ def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir,
     has_dup = bool(np.any(sk[1:] == sk[:-1])) if sk.size > 1 else False
     if not has_dup and hasattr(h3, "key_fetch"):
         order = np.argsort(h3.key_fetch(arcs["idx"]), kind="stable")
+        if speculate:
+            # a speculative sort may still be running; free() joins it,
+            # so release the handle off the critical path
+            import threading
+
+            threading.Thread(target=h3.free, daemon=True).start()
+        else:
+            h3.free()
     else:
         h3.build_rank()
         order = np.argsort(h3.arc_ranks(arcs["idx"]), kind="stable")
+        h3.free()
     timers.add_extra("rank.join_s", time.time() - t_rank)
     arcs = {k: arcs[k][order] for k in ("u", "l", "v", "ol")}
-    h3.free()
     tick("order")
 
     g, sub_s, sub_e, sub_del = graph_from_arcs(
