@@ -246,6 +246,80 @@ def _concat_jit(*pieces):
     return _concat_jit._fn(*pieces)
 
 
+def _decode3_jit(piece_dev):
+    """Device-side decode of a flat FMT3 piece (13 B/record H2D layout:
+    3 coordinate rows + flag nibbles + qid run-length sideband) into the
+    standard 4-row packed layout [qid|flags<<28, tid, qs<<16|qe,
+    ts<<16|te].  Dispatched per piece as it uploads, so the decode cost
+    (one small scatter + a cumsum + a broadcast nibble unpack — no
+    full-size gathers) hides under the H2D stream."""
+    import jax
+
+    fns = _decode3_jit.__dict__.setdefault("_fns", {})
+    words = piece_dev.shape[0]
+    fn = fns.get(words)
+    if fn is None:
+        import jax.numpy as jnp
+
+        sz = words * 4 // 13  # words == 3*sz + sz//4
+
+        def _f(flat):
+            n = sz
+            rows = flat[:3 * n].reshape(3, n)
+            fw = flat[3 * n:3 * n + n // 8].astype(jnp.uint32)
+            # nibble unpack via broadcast shifts (a per-record gather of
+            # the word array would price ~7 ns/index; this is elementwise)
+            nib = ((fw[:, None]
+                    >> (4 * jnp.arange(8, dtype=jnp.uint32)[None, :]))
+                   & jnp.uint32(0xF)).reshape(n)
+            bp = flat[3 * n + n // 8: 3 * n + n // 8 + n // 16]
+            bq = flat[3 * n + n // 8 + n // 16: 3 * n + n // 4]
+            # qid = prefix-sum of boundary DELTAS scattered at run starts
+            # (no searchsorted, no gather; padding bp rows are -1)
+            prev = jnp.concatenate([jnp.zeros(1, jnp.int32), bq[:-1]])
+            ok = bp >= 0
+            delta = jnp.where(ok, bq - prev, 0)
+            tgt = jnp.where(ok, bp, n)
+            d = jnp.zeros(n + 1, jnp.int32).at[tgt].add(delta)
+            qid = jnp.cumsum(d[:n])
+            w0 = (qid.astype(jnp.uint32) | (nib << 28)).astype(jnp.int32)
+            return jnp.stack([w0, rows[0], rows[1], rows[2]])
+
+        fn = jax.jit(_f)
+        fns[words] = fn
+    return fn(piece_dev)
+
+
+def _fmt3_to_cols(buf, sz, n, rows):
+    """Host-side conversion of a (possibly partial) flat FMT3 piece to a
+    (rows, n) column piece — the rare mid-stream downgrade path when a
+    record overflows the packed coordinate range (rows=7) or a piece
+    overflows the RLE sideband (rows=4)."""
+    r = buf[:3 * sz].reshape(3, sz)[:, :n]
+    nw = buf[3 * sz:3 * sz + sz // 8].astype(np.uint32)
+    idx = np.arange(n)
+    nib = ((nw[idx >> 3] >> (4 * (idx & 7)).astype(np.uint32))
+           & 0xF).astype(np.uint32)
+    bp = buf[3 * sz + sz // 8: 3 * sz + sz // 8 + sz // 16]
+    bq = buf[3 * sz + sz // 8 + sz // 16: 3 * sz + sz // 4]
+    k = bp[bp >= 0]
+    v = bq[:len(k)]
+    j = np.searchsorted(k, idx, side="right") - 1
+    qid = v[j] if len(k) else np.zeros(n, np.int32)
+    if rows == 4:
+        w0 = qid.astype(np.uint32) | (nib << 28)
+        return np.stack([w0.astype(np.int32), r[0], r[1], r[2]])
+    qsqe = r[1].astype(np.uint32)
+    tste = r[2].astype(np.uint32)
+    return np.stack([qid.astype(np.int32),
+                     (qsqe >> 16).astype(np.int32),
+                     (qsqe & 0xFFFF).astype(np.int32),
+                     r[0],
+                     (tste >> 16).astype(np.int32),
+                     (tste & 0xFFFF).astype(np.int32),
+                     nib.astype(np.int32)])
+
+
 def _unpack4_jit(piece):
     """Device-side unpack of a 4-row packed piece to the 7-row layout
     (rare fallback: only when a late record in the stream failed to pack,
@@ -353,7 +427,8 @@ class HitsMt:
 
 
 def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
-                 min_iden=0.05, n_workers=2, upload=True, block_bytes=0):
+                 min_iden=0.05, n_workers=2, upload=True, block_bytes=0,
+                 carry_seed=None):
     """Pipelined loader: reader + parser threads tokenize and chunk-intern
     while the consumer globalizes ids in order and device_puts fixed-size
     (7, 2^19) pieces, so parsing, H2D transfer, and (via the later
@@ -383,8 +458,12 @@ def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
                                ctypes.c_int64]
     lib.ma_mt_next4.restype = ctypes.c_int64
     lib.ma_mt_next4.argtypes = lib.ma_mt_next.argtypes
+    lib.ma_mt_next3.restype = ctypes.c_int64
+    lib.ma_mt_next3.argtypes = lib.ma_mt_next.argtypes
     lib.ma_mt_pack_failed.restype = ctypes.c_int
     lib.ma_mt_pack_failed.argtypes = [ctypes.c_void_p]
+    lib.ma_mt_rle_failed.restype = ctypes.c_int
+    lib.ma_mt_rle_failed.argtypes = [ctypes.c_void_p]
     lib.ma_mt_info.argtypes = [ctypes.c_void_p, ctypes.POINTER(_MaMtInfo)]
     lib.ma_mt_names.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.ma_mt_seq_len.argtypes = [ctypes.c_void_p,
@@ -401,6 +480,7 @@ def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
                                     ctypes.c_int64, ctypes.c_int64,
                                     ctypes.POINTER(ctypes.c_uint64)]
     lib.ma_mt_free.argtypes = [ctypes.c_void_p]
+    lib.ma_mt_seed_carry.argtypes = [ctypes.c_void_p, ctypes.c_int64]
 
     if excl is not None and excl.n_seq:
         blob = b"\0".join(n.encode() for n in excl.names) + b"\0"
@@ -411,6 +491,11 @@ def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
                           n_workers, block_bytes)
     if not res:
         raise FileNotFoundError(2, "could not open PAF file", fn)
+    if carry_seed is not None:
+        # multi-process range reads: seed the 10-field bl carry with the
+        # nearest complete line before this range (paf.c:56-60 semantics
+        # across the split); must precede the first ma_mt_next call
+        lib.ma_mt_seed_carry(res, int(carry_seed))
     # Piece schedule: device_put costs ~50 ms fixed on the tunnel, so the
     # bulk of a long stream rides 4*_MT_CHUNK pieces; the TAIL drops back
     # to _MT_CHUNK pieces so the zero-padding (kernel cost ∝ cap) stays
@@ -439,61 +524,101 @@ def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
             item = upq.get()
             if item is None:
                 return
-            pieces.append(jax.device_put(item) if upload else item)
+            if not upload:
+                pieces.append(item)
+            elif item.ndim == 1:
+                # flat FMT3 piece: upload 13 B/record, decode to the
+                # 4-row layout on device (hides under the H2D stream)
+                pieces.append(_decode3_jit(jax.device_put(item)))
+            else:
+                pieces.append(jax.device_put(item))
 
     up_thread = _threading.Thread(target=_uploader)
     up_thread.start()
     cap = 0
     n_pieces = 0
-    # pack the H2D transfer 4 rows/record while every record's coordinates
-    # fit 16 bits (the overwhelmingly common case); on the first that
-    # doesn't, the C++ side flags it and the stream falls back to 7-row
-    # pieces (the packed pieces already uploaded get unpacked on device)
-    use4 = upload
-    mixed = False
+    # H2D format ladder: FMT3 (13 B/record flat pieces, decoded to 4-row
+    # on device) while the stream stays query-grouped with 16-bit
+    # coordinates; a sideband overflow downgrades to the 4-row packed
+    # format, a coordinate/id overflow to the 7-row format.  Already-
+    # uploaded pieces stay valid (FMT3 decodes to 4-row; 4-row pieces get
+    # unpacked on device if the stream ends 7-row).
+    fmt = 3 if upload else 7
+    if upload and _os.environ.get("MINIASM_TPU_FMT3") == "0":
+        fmt = 4  # test hook: force the 4-row H2D format
+    had4 = False
     try:
         while True:
             big = cap + 4 * _MT_CHUNK <= est
             sz = 4 * _MT_CHUNK if big else _MT_CHUNK
-            rows = 4 if use4 else 7
+            if fmt == 3:
+                buf = np.empty(3 * sz + sz // 4, dtype=np.int32)
+                n = lib.ma_mt_next3(
+                    res, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    sz)
+                pf = bool(lib.ma_mt_pack_failed(res))
+                rf = bool(lib.ma_mt_rle_failed(res))
+                if pf or rf:
+                    # truncate the filled prefix to its real records (a
+                    # zero-padded middle would shift later device columns
+                    # off their C++ g_*/rank index) and convert it
+                    # host-side to the downgrade target's layout
+                    new_rows = 7 if pf else 4
+                    if n:
+                        upq.put(_fmt3_to_cols(buf, sz, n, new_rows))
+                        n_pieces += 1
+                        cap += n
+                        had4 = had4 or new_rows == 4
+                    fmt = 7 if pf else 4
+                    continue
+                if n == 0 and n_pieces:
+                    break
+                upq.put(buf)
+                had4 = True  # decodes to a 4-row piece
+                n_pieces += 1
+                cap += sz
+                if n < sz:
+                    break
+                continue
+            rows = 4 if fmt == 4 else 7
             buf = np.empty((rows, sz), dtype=np.int32)
-            fn_next = lib.ma_mt_next4 if use4 else lib.ma_mt_next
+            fn_next = lib.ma_mt_next4 if fmt == 4 else lib.ma_mt_next
             n = fn_next(
                 res, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), sz)
-            switched = use4 and bool(lib.ma_mt_pack_failed(res))
+            switched = fmt == 4 and bool(lib.ma_mt_pack_failed(res))
             if switched:
-                use4 = False
-                mixed = True
+                fmt = 7
                 if n == 0:
                     continue  # stream not done; re-read this piece 7-row
-                # truncate the partial packed piece to its real records:
-                # a zero-padded middle would shift every later device
-                # column off its C++ g_*/rank index (key_fetch/arc_ranks
-                # address by raw column)
+                # truncate the partial packed piece to its real records
                 buf = np.ascontiguousarray(buf[:, :n])
                 sz = n
             elif n == 0 and n_pieces:
                 break
             upq.put(buf)
+            had4 = had4 or rows == 4
             n_pieces += 1
             cap += sz
             if n < sz and not switched:
                 break
         # pad the total capacity to the shape-bucket ladder with zero
         # pieces (inert rows) so the kernel's compiled shape recurs
-        # across different input sizes
-        want_chunks = _ladder_chunks(-(-cap // _MT_CHUNK))
+        # across different input sizes; pure-host consumers (upload=False)
+        # slice the padding off anyway, so skip the inflation there
+        want_chunks = (_ladder_chunks(-(-cap // _MT_CHUNK)) if upload
+                       else -(-cap // _MT_CHUNK))
         pad = want_chunks * _MT_CHUNK - cap
-        rows = buf.shape[0]  # match the final piece format
+        pad_rows = 7 if fmt == 7 else 4  # match the final piece format
         while pad > 0:
             sz = min(pad, 4 * _MT_CHUNK)
-            upq.put(np.zeros((rows, sz), dtype=np.int32))
+            upq.put(np.zeros((pad_rows, sz), dtype=np.int32))
             n_pieces += 1
             cap += sz
             pad -= sz
     finally:
         upq.put(None)
         up_thread.join()
+    mixed = fmt == 7 and had4
     if not upload:
         colmat_dev = (pieces[0] if len(pieces) == 1
                       else np.concatenate(pieces, axis=1))

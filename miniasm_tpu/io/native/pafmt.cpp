@@ -248,6 +248,7 @@ struct MtState {
     int64_t* rank = nullptr;
     std::string names_blob;
     bool pack_fail = false;  // a record didn't fit the 4-row packed piece
+    bool rle_fail = false;   // a piece overflowed the FMT3 qid-RLE sideband
 
     ~MtState() {
         for (auto& kv : done) delete kv.second;
@@ -551,6 +552,15 @@ MtState* ma_mt_begin(const char* fn, int64_t min_span, int64_t min_match,
     return st;
 }
 
+// Seed the 10-field bl carry (paf.c:56-60 reuses the previous line's bl)
+// for range-split multi-process reads: the value of the nearest complete
+// 11-field line BEFORE this process's byte range.  Must be called between
+// ma_mt_begin and the first ma_mt_next/ma_mt_next4 (the carry is consumed
+// only on the consumer thread, so no lock is needed there).
+void ma_mt_seed_carry(MtState* st, int64_t bl) {
+    st->carry_bl = static_cast<uint32_t>(bl);
+}
+
 }  // extern "C" (reopened after the template below)
 
 namespace {
@@ -569,9 +579,25 @@ int64_t mt_next_impl(MtState* st, int32_t* out, int64_t want) {
     const int64_t C = want > 0 ? want : st->chunk_recs;
     int64_t filled = 0;
     int32_t* R[7];
-    for (int r2 = 0; r2 < FMT; ++r2) R[r2] = out + r2 * C;
+    for (int r2 = 0; r2 < (FMT == 3 ? 3 : FMT); ++r2) R[r2] = out + r2 * C;
+    // FMT=3 sideband layout after the 3 coordinate rows (C must be a
+    // multiple of 16): flag nibbles (C/8 words), qid-run boundary
+    // positions (C/16 words, -1 padded), boundary qids (C/16 words)
+    uint32_t* nibw = nullptr;
+    int32_t* bpos = nullptr;
+    int32_t* bqid = nullptr;
+    int64_t nb = 0, bcap = 0;
+    int32_t last_q = -1;
+    if (FMT == 3) {
+        nibw = reinterpret_cast<uint32_t*>(out + 3 * C);
+        bpos = out + 3 * C + C / 8;
+        bqid = bpos + C / 16;
+        bcap = C / 16;
+        std::memset(nibw, 0, (C / 8) * 4);
+    }
     while (filled < C) {
         if (FMT == 4 && st->pack_fail) break;
+        if (FMT == 3 && (st->pack_fail || st->rle_fail)) break;
         if (!st->cur) {
             std::vector<int32_t> gmap;
             Chunk* ck = take_chunk(st, gmap);
@@ -604,6 +630,35 @@ int64_t mt_next_impl(MtState* st, int32_t* out, int64_t want) {
                 take = good;
             }
         }
+        if (FMT == 3) {
+            if (static_cast<int64_t>(st->gnames.size()) >= (1LL << 28)) {
+                st->pack_fail = true;
+                break;
+            }
+            // pre-scan: coordinates must fit 16 bits AND the piece's
+            // qid-run boundary count must fit the RLE sideband
+            int64_t good = 0;
+            int32_t lq = last_q;
+            int64_t nb2 = nb;
+            while (good < take) {
+                if (ck->qs[o + good] > 65535u || ck->qe[o + good] > 65535u ||
+                    ck->ts[o + good] > 65535u || ck->te[o + good] > 65535u) {
+                    st->pack_fail = true;
+                    break;
+                }
+                int32_t gq = gm[ck->qid[o + good]];
+                if (gq != lq) {
+                    if (nb2 == bcap) {
+                        st->rle_fail = true;
+                        break;
+                    }
+                    ++nb2;
+                    lq = gq;
+                }
+                ++good;
+            }
+            take = good;
+        }
         if (FMT == 7) {
             // columnar: plain memcpy for coordinates, tight vectorizable
             // transforms for the id remap and flags
@@ -629,6 +684,18 @@ int64_t mt_next_impl(MtState* st, int32_t* out, int64_t want) {
             if (FMT == 7) {
                 R[0][filled + k] = gq;
                 R[3][filled + k] = gt;
+            } else if (FMT == 3) {
+                R[0][filled + k] = gt;
+                R[1][filled + k] = static_cast<int32_t>(
+                    (ck->qs[o + k] << 16) | ck->qe[o + k]);
+                R[2][filled + k] = static_cast<int32_t>(
+                    (ck->ts[o + k] << 16) | ck->te[o + k]);
+                if (gq != last_q) {
+                    bpos[nb] = static_cast<int32_t>(filled + k);
+                    bqid[nb] = gq;
+                    ++nb;
+                    last_q = gq;
+                }
             } else {
                 R[1][filled + k] = gt;
                 R[2][filled + k] = static_cast<int32_t>(
@@ -646,7 +713,10 @@ int64_t mt_next_impl(MtState* st, int32_t* out, int64_t want) {
                 (iden_ok << 2);
             if (FMT == 7)
                 R[6][filled + k] = static_cast<int32_t>(fl);
-            else
+            else if (FMT == 3) {
+                uint32_t idx = static_cast<uint32_t>(filled + k);
+                nibw[idx >> 3] |= fl << (4 * (idx & 7));
+            } else
                 R[0][filled + k] = static_cast<int32_t>(
                     static_cast<uint32_t>(st->g_qid[gn + k]) | (fl << 28));
         }
@@ -662,8 +732,13 @@ int64_t mt_next_impl(MtState* st, int32_t* out, int64_t want) {
         }
     }
     if (filled < C)
-        for (int r2 = 0; r2 < FMT; ++r2)
+        for (int r2 = 0; r2 < (FMT == 3 ? 3 : FMT); ++r2)
             std::memset(R[r2] + filled, 0, (C - filled) * 4);
+    if (FMT == 3)
+        for (int64_t j = nb; j < bcap; ++j) {
+            bpos[j] = -1;
+            bqid[j] = 0;
+        }
     return filled;
 }
 
@@ -688,7 +763,20 @@ int64_t ma_mt_next4(MtState* st, int32_t* out, int64_t want) {
     return mt_next_impl<4>(st, out, want);
 }
 
+// Flat 13 B/record variant (want must be a multiple of 16): 3 coordinate
+// rows [tid, qs<<16|qe, ts<<16|te] + flag nibbles + a qid run-length
+// sideband (PAF streams are query-grouped, so qid is piecewise constant;
+// minimap2 emits ~40-90 records per query).  Total words per piece:
+// 3*want + want/4 — 19% fewer H2D bytes than the 4-row format.  On a
+// coordinate/id overflow ma_mt_pack_failed() is set (switch to 7-row);
+// on a boundary-count overflow ma_mt_rle_failed() is set (switch to
+// 4-row); either way this call's filled prefix is valid.
+int64_t ma_mt_next3(MtState* st, int32_t* out, int64_t want) {
+    return mt_next_impl<3>(st, out, want);
+}
+
 int ma_mt_pack_failed(MtState* st) { return st->pack_fail ? 1 : 0; }
+int ma_mt_rle_failed(MtState* st) { return st->rle_fail ? 1 : 0; }
 
 void ma_mt_info(MtState* st, MaMtInfo* info) {
     int64_t nb = 0;

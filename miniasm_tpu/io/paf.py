@@ -66,12 +66,15 @@ class PafLoad:
         return len(self.qid)
 
 
-def _parse_lines_python(fn, min_span, min_match, excl, collect):
+def _parse_lines_python(fn, min_span, min_match, excl, collect,
+                        bl_carry=None):
     """Stream lines, apply the record filter, call collect(fields) per kept
     record. Returns total line count."""
     tot = 0
-    last_bl = 0  # paf_rec_t is reused in the reference; bl persists across
+    last_bl = bl_carry if bl_carry is not None else 0
+    # paf_rec_t is reused in the reference; bl persists across
     # records when a line has exactly 10 fields (paf.c:34-56 quirk).
+    # bl_carry seeds it for multi-process byte-range reads.
     with open_text(fn) as f:
         for line in f:
             t = line.rstrip("\n").split("\t")
@@ -93,21 +96,24 @@ def _parse_lines_python(fn, min_span, min_match, excl, collect):
 
 
 def load_paf(fn: str, min_span: int, min_match: int,
-             excl: SeqDict | None = None, d: SeqDict | None = None) -> PafLoad:
+             excl: SeqDict | None = None, d: SeqDict | None = None,
+             bl_carry: int | None = None) -> PafLoad:
     """Load + filter + intern a PAF file (reference ma_hit_read's read loop,
     hit.c:82-99, minus the hit mirroring which happens on device)."""
     try:
         from . import native
 
-        if native.HAS_PAF and native.available():
+        if bl_carry is None and native.HAS_PAF and native.available():
             return native.load_paf(fn, min_span, min_match, excl=excl, d=d)
     except ImportError:
         pass
-    return load_paf_python(fn, min_span, min_match, excl=excl, d=d)
+    return load_paf_python(fn, min_span, min_match, excl=excl, d=d,
+                           bl_carry=bl_carry)
 
 
 def load_paf_python(fn: str, min_span: int, min_match: int,
-                    excl: SeqDict | None = None, d: SeqDict | None = None) -> PafLoad:
+                    excl: SeqDict | None = None, d: SeqDict | None = None,
+                    bl_carry: int | None = None) -> PafLoad:
     if d is None:
         d = SeqDict()
     cols = {k: [] for k in ("qid", "qs", "qe", "tid", "ts", "te", "ml", "bl", "rev")}
@@ -120,7 +126,8 @@ def load_paf_python(fn: str, min_span: int, min_match: int,
         ap["ts"](ts); ap["te"](te)
         ap["ml"](ml); ap["bl"](bl); ap["rev"](rev)
 
-    tot = _parse_lines_python(fn, min_span, min_match, excl, collect)
+    tot = _parse_lines_python(fn, min_span, min_match, excl, collect,
+                              bl_carry=bl_carry)
     out = PafLoad(
         qid=np.asarray(cols["qid"], dtype=np.int32),
         qs=np.asarray(cols["qs"], dtype=np.uint32),

@@ -19,12 +19,19 @@ per-read meta tables are gathered to process 0, which runs the graph ->
 unitig -> GFA tail and writes output byte-identical to the
 single-process pipeline.
 
-The one remaining centralization is the exact-rank fixup: process 0
-gathers the 16-byte (qid, qs | tid, ts) sort keys of all records to
-rebuild the reference's arc insertion order.  At 27.6M hits that is
-~440 MB on one host — acceptable for this rung; the scalable follow-up
-is resolving only equal-(qid, qs) tie groups among surviving arcs,
-which shrinks the exchange to O(arcs).
+The exact-rank fixup is O(arcs), not O(hits): each process computes the
+mirrored-hit sort keys (qid<<32|qs of the arc's side) for the surviving
+arcs whose source records live in ITS byte range, and one allgather of
+those per-arc keys lets every process order the arcs.  That order is
+exact unless some graph key (u<<32|l) AND some hit key are BOTH
+duplicated among survivors (see pipeline._run_fast_v2's order step for
+the proof sketch); only that double-collision case falls back to
+gathering all records' 16-byte keys to rebuild the full radix
+permutation — a logged rarity, not the steady state.
+
+Gzipped inputs can't be byte-range split; each process streams the gz
+to a local spool file once (parallel across processes, no
+centralization) and range-reads the spool.
 """
 
 from __future__ import annotations
@@ -40,11 +47,30 @@ HIT_ROWS = 8
 # ---------------------------------------------------------------------------
 # range splitting + carry seeding (host, no jax)
 
+def spool_gz(paf_fn: str, tmpdir: str) -> str:
+    """Decompress a .gz PAF to a local spool file so byte-range splitting
+    works (the compressed stream can't seek).  Each process spools its own
+    copy — O(file) work per process but embarrassingly parallel and free
+    of any rank-0 centralization (the reference reads .paf.gz natively
+    everywhere, paf.c:9-20)."""
+    import gzip
+    import shutil
+
+    out = os.path.join(tmpdir, "spool.paf")
+    with gzip.open(paf_fn, "rb") as fi, open(out, "wb") as fo:
+        shutil.copyfileobj(fi, fo, 1 << 22)
+    return out
+
+
 def split_ranges(paf_fn: str, n: int):
     """[(off, end)] byte ranges covering the file, snapped so each range
     starts right after a newline (range 0 starts at 0).  Gz streams can't
-    seek cheaply -> single range."""
+    seek cheaply -> single range (callers should spool_gz first; the
+    worker does)."""
     if paf_fn.endswith(".gz"):
+        sys.stderr.write("[W::multihost] gz input not range-splittable; "
+                         "process 0 reads it whole (spool_gz to "
+                         "parallelize)\n")
         return [(0, os.path.getsize(paf_fn))] + [(0, 0)] * (n - 1)
     size = os.path.getsize(paf_fn)
     cuts = [0]
@@ -85,27 +111,23 @@ def _carry_seed(paf_fn: str, off: int) -> int | None:
             win *= 4
 
 
-def extract_range(paf_fn: str, off: int, end: int, out_fn: str) -> bool:
-    """Copy [off, end) to out_fn; if the range starts mid-file, prepend a
-    synthetic 11-field line that FAILS the span filter but seeds the
-    bl-carry (parse updates the carry before the filters, so the line
-    contributes no record and interns no name).  Returns whether a seed
-    line was written (it still counts in the parser's n_lines total, so
-    the caller subtracts it to keep log counters reference-identical)."""
-    with open(out_fn, "wb") as out:
-        seed = _carry_seed(paf_fn, off)
-        if seed is not None:
-            out.write(b"*\t0\t0\t0\t+\t*\t0\t0\t0\t0\t%d\n" % seed)
-        with open(paf_fn, "rb") as f:
-            f.seek(off)
-            left = end - off
-            while left > 0:
-                chunk = f.read(min(left, 1 << 24))
-                if not chunk:
-                    break
-                out.write(chunk)
-                left -= len(chunk)
-    return seed is not None
+def extract_range(paf_fn: str, off: int, end: int, out_fn: str):
+    """Copy [off, end) to out_fn and return the bl-carry seed for the
+    range (the bl of the nearest complete 11-field line before `off`,
+    None at file start) — passed to the parser via its explicit
+    carry-seed hook rather than a synthetic line, so no phantom record
+    can survive under degenerate filter settings (-s0 -m0)."""
+    seed = _carry_seed(paf_fn, off)
+    with open(out_fn, "wb") as out, open(paf_fn, "rb") as f:
+        f.seek(off)
+        left = end - off
+        while left > 0:
+            chunk = f.read(min(left, 1 << 24))
+            if not chunk:
+                break
+            out.write(chunk)
+            left -= len(chunk)
+    return seed
 
 
 # ---------------------------------------------------------------------------
@@ -160,26 +182,32 @@ def _load_local(paf_fn, opt, rng, tmpdir):
     """Parse this process's byte range into host (7, n) columns with
     LOCAL ids + the local name table (first-appearance order)."""
     off, end = rng
-    part = os.path.join(tmpdir, "part_%d.paf" % off)
-    seeded = extract_range(paf_fn, off, end, part)
+    whole = off == 0 and end >= os.path.getsize(paf_fn)
+    if whole:
+        # whole-file range (single process): parse the original directly,
+        # skipping the pointless byte copy
+        part, seed = paf_fn, None
+    else:
+        part = os.path.join(tmpdir, "part_%d.paf" % off)
+        seed = extract_range(paf_fn, off, end, part)
     try:
         from ..io.native import available
     except ImportError:
         available = lambda: False  # noqa: E731
     if available():
-        from ..io.native.pafload import load_hits_v2
+        from ..io.native.pafload import load_hits_mt
 
-        cm, d, h3 = load_hits_v2(part, opt.min_span, opt.min_match,
+        cm, d, h3 = load_hits_mt(part, opt.min_span, opt.min_match,
                                  bi_dir=True, min_iden=float(opt.min_iden),
-                                 upload=False)
+                                 upload=False, carry_seed=seed)
         n = h3.n_orig
-        cols = cm[:, :n].copy()
-        stats = (h3.n_lines - int(seeded), h3.n_mirror)
+        cols = np.ascontiguousarray(cm[:, :n])
+        stats = (h3.n_lines, h3.n_mirror)
         h3.free()
     else:
         from ..io.paf import load_paf
 
-        load = load_paf(part, opt.min_span, opt.min_match)
+        load = load_paf(part, opt.min_span, opt.min_match, bl_carry=seed)
         d = load.d
         n = len(load.qid)
         iden = ~(load.ml.astype(np.float32)
@@ -191,18 +219,26 @@ def _load_local(paf_fn, opt, rng, tmpdir):
                          load.tid.astype(np.int32),
                          load.ts.astype(np.int32), load.te.astype(np.int32),
                          flags])
-        stats = (load.n_lines - int(seeded),
+        stats = (load.n_lines,
                  n + int(np.sum(load.qid != load.tid)))
-    os.unlink(part)
+    if not whole:
+        os.unlink(part)
     return cols, d, stats
 
 
 def worker(paf_fn: str, out_fn: str, *, coordinator: str, num_procs: int,
-           proc_id: int, opt=None):
-    """Entry point for one jax.distributed process."""
+           proc_id: int, opt=None, platform: str | None = None):
+    """Entry point for one jax.distributed process.  `platform` overrides
+    the JAX backend (the test harness passes "cpu" via JAX_PLATFORMS; a
+    real deployment leaves it unset and runs on the session's
+    accelerators)."""
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    platform = platform or os.environ.get("JAX_PLATFORMS")
+    if platform:
+        # the container may register accelerator plugins at interpreter
+        # start, so the env var alone does not always win — set explicitly
+        jax.config.update("jax_platforms", platform)
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_procs, process_id=proc_id)
     import tempfile
@@ -226,8 +262,9 @@ def worker(paf_fn: str, out_fn: str, *, coordinator: str, num_procs: int,
     dev_per_proc = n_sh // procs
 
     with tempfile.TemporaryDirectory() as td:
-        rng = split_ranges(paf_fn, procs)[me]
-        cols, dloc, (n_lines_l, _) = _load_local(paf_fn, opt, rng, td)
+        src_fn = spool_gz(paf_fn, td) if paf_fn.endswith(".gz") else paf_fn
+        rng = split_ranges(src_fn, procs)[me]
+        cols, dloc, (n_lines_l, _) = _load_local(src_fn, opt, rng, td)
 
     d, gmap = _gather_name_tables(dloc.names, dloc.lens, procs)
     n_seq = d.n_seq
@@ -336,12 +373,51 @@ def worker(paf_fn: str, out_fn: str, *, coordinator: str, num_procs: int,
     meta = np.asarray(meta.addressable_data(0))
     counts_dev = np.asarray(counts_dev.addressable_data(0))
 
-    # ---- process 0 tail: rank fixup + graph + emit ----
-    key_cols = np.ascontiguousarray(cols[[0, 1, 3, 4]])
-    pad_n = int(counts.max())
-    kp = np.zeros((4, pad_n), np.int32)
-    kp[:, :n_local] = key_cols
-    all_keys = mhu.process_allgather(kp)  # (procs, 4, pad_n)
+    # ---- exact arc insertion order: O(arcs) key exchange ----
+    # Every process holds the replicated arc matrix; each computes the
+    # mirrored-hit sort key (qid<<32|qs of the arc's side, global ids) for
+    # the arcs whose source record lives in ITS byte range, and one
+    # allgather of the (hi, lo) int32 pair (uint64 would be truncated
+    # without x64) makes the per-arc keys global.  O(arcs), not O(hits).
+    gids = arcmat[4]
+    live = gids >= 0
+    ag = gids[live].astype(np.int64)
+    grec = ag >> 1
+    aside = ag & 1
+    mine = (grec >= g_off) & (grec < g_off + n_local)
+    lrec = (grec[mine] - g_off).astype(np.int64)
+    khi = np.zeros(ag.shape[0], np.int32)
+    klo = np.zeros(ag.shape[0], np.int32)
+    khi[mine] = np.where(aside[mine] == 1, cols[3][lrec], cols[0][lrec])
+    klo[mine] = np.where(aside[mine] == 1, cols[4][lrec], cols[1][lrec])
+    pair = np.stack([khi, klo])
+    if procs > 1:
+        pair = mhu.process_allgather(pair).sum(axis=0)
+    keys = ((pair[0].astype(np.uint64) << np.uint64(32))
+            | pair[1].astype(np.uint64))
+
+    # double-collision test (identical on every process: arcmat and keys
+    # are replicated): the stable by-hit-key order is exact unless some
+    # graph key AND some hit key are both duplicated — see
+    # pipeline._run_fast_v2's order step
+    ul = ((arcmat[0][live].astype(np.uint64) << np.uint64(32))
+          | arcmat[1][live].astype(np.uint64))
+    su = np.sort(ul)
+    need_full = bool(np.any(su[1:] == su[:-1])) if su.size > 1 else False
+    if need_full and keys.size > 1:
+        ks = np.sort(keys)
+        need_full = bool(np.any(ks[1:] == ks[:-1]))
+    all_keys = None
+    if need_full:
+        # rare fallback: the full radix permutation needs every record's
+        # 16-byte key on one host (collective - all processes participate)
+        sys.stderr.write("[W::multihost] duplicate graph AND hit keys; "
+                         "falling back to the full exact-rank gather\n")
+        key_cols = np.ascontiguousarray(cols[[0, 1, 3, 4]])
+        pad_n = int(counts.max())
+        kp = np.zeros((4, pad_n), np.int32)
+        kp[:, :n_local] = key_cols
+        all_keys = mhu.process_allgather(kp)  # (procs, 4, pad_n)
 
     if me != 0:
         return None
@@ -360,21 +436,22 @@ def worker(paf_fn: str, out_fn: str, *, coordinator: str, num_procs: int,
     log("hit_sub", "%d query sequences remain after sub", n_rem2)
     log("hit_cut", "%d hits remain after cut", n_cut2)
 
-    gcols = np.concatenate(
-        [all_keys[p][:, :int(counts[p])] for p in range(procs)], axis=1)
-    # _mirror_ranks reads rows [0]=qid [1]=qs [3]=tid [4]=ts; row 2 unused
-    rank = _mirror_ranks(
-        np.vstack([gcols[0], gcols[1], gcols[1], gcols[2], gcols[3]]), d)
-
-    gids = arcmat[4]
-    live = gids >= 0
     arcs = {
         "u": arcmat[0][live].astype(np.int32),
         "l": arcmat[1][live].astype(np.int32),
         "v": arcmat[2][live].astype(np.int32),
         "ol": arcmat[3][live].astype(np.int32),
     }
-    order = np.argsort(rank[gids[live]], kind="stable")
+    if need_full:
+        gcols = np.concatenate(
+            [all_keys[p][:, :int(counts[p])] for p in range(procs)], axis=1)
+        # _mirror_ranks reads rows [0]=qid [1]=qs [3]=tid [4]=ts; row 2
+        # is unused
+        rank = _mirror_ranks(
+            np.vstack([gcols[0], gcols[1], gcols[1], gcols[2], gcols[3]]), d)
+        order = np.argsort(rank[ag], kind="stable")
+    else:
+        order = np.argsort(keys, kind="stable")
     arcs = {k: v[order] for k, v in arcs.items()}
 
     g, sub_s, sub_e, sub_del = graph_from_arcs(

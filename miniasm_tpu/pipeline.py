@@ -37,6 +37,19 @@ from .utils.timers import log
 # (stage -> seconds since run start); bench.py reads this
 LAST_TIMING: dict = {}
 
+# speculative-path free() thread of the previous run (the multi-second rank
+# radix may still be running on it); joined at the next run's start so at
+# most one stale sort ever overlaps live work (and bench timings don't
+# inherit a previous run's worker threads)
+_free_thread = None
+
+
+def _join_stale_free():
+    global _free_thread
+    if _free_thread is not None:
+        _free_thread.join()
+        _free_thread = None
+
 
 def _apply_cut(hits: Hits, keep, qs, qe, ts, te) -> Hits:
     keep = np.asarray(keep)
@@ -160,6 +173,7 @@ def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir,
     from .utils import timers
 
     timing = os.environ.get("MINIASM_TPU_TIMING")
+    _join_stale_free()
     t0 = time.time()
     LAST_TIMING.clear()
     timers.EXTRA.clear()
@@ -223,23 +237,38 @@ def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir,
     # build's (u<<32|l) radix sort (asg.c:75-78 via cleanup) — the radix
     # is payload-oblivious, so when NO two surviving arcs share a graph
     # key its output is uniquely determined by the keys and any input
-    # order with the right per-key occupants is exact; a stable sort by
-    # each arc's mirrored-hit key (qid<<32|qs of its side) provides that
-    # without ever building the 2N-key rank table.  Any duplicate graph
-    # key falls back to the full exact-permutation machinery.
+    # order with the right per-key occupants is exact.  When graph keys DO
+    # collide, a stable sort by each arc's mirrored-hit key (qid<<32|qs of
+    # its side) is still exact as long as no two surviving arcs share a
+    # HIT key: distinct hit keys mean the hit radix's unstable tie
+    # permutation never touches an arc-producing pair, so sorting by hit
+    # key reproduces the reference's arc-vector sequence identically and
+    # the arc radix (emulated element-exactly by cleanup's radix_argsort)
+    # sees the very same input.  Only the double-collision case — some
+    # graph key AND some hit key both duplicated among survivors — falls
+    # back to the full 2N-key exact-permutation machinery.
     t_rank = time.time()
     ul = ((arcs["u"].astype(np.uint64) << np.uint64(32))
           | arcs["l"].astype(np.uint64))
     sk = np.sort(ul)
     has_dup = bool(np.any(sk[1:] == sk[:-1])) if sk.size > 1 else False
-    if not has_dup and hasattr(h3, "key_fetch"):
-        order = np.argsort(h3.key_fetch(arcs["idx"]), kind="stable")
+    use_keys = hasattr(h3, "key_fetch")
+    if use_keys:
+        keys = h3.key_fetch(arcs["idx"])
+        if has_dup and keys.size > 1:
+            ku = np.sort(keys)
+            has_dup = bool(np.any(ku[1:] == ku[:-1]))
+    if not has_dup and use_keys:
+        order = np.argsort(keys, kind="stable")
         if speculate:
             # a speculative sort may still be running; free() joins it,
-            # so release the handle off the critical path
+            # so release the handle off the critical path (tracked and
+            # joined at the start of the next run)
             import threading
 
-            threading.Thread(target=h3.free, daemon=True).start()
+            global _free_thread
+            _free_thread = threading.Thread(target=h3.free, daemon=True)
+            _free_thread.start()
         else:
             h3.free()
     else:

@@ -251,3 +251,74 @@ def test_mt_loader_wrapped_coordinate_record(tmp_path):
     assert a1[1, 1] == 70000  # the wrapped start survived intact
     h1.free()
     h2.free()
+
+
+@pytest.mark.skipif(not available(), reason="native lib unavailable")
+def test_mt_loader_fmt3_matches_fmt4(sim_small, monkeypatch):
+    """The 13 B/record FMT3 H2D layout (3 coordinate rows + flag nibbles +
+    qid RLE sideband, decoded on device) must reproduce the 4-row packed
+    colmat bit-for-bit on real columns, with inert (flags=0) padding."""
+    from miniasm_tpu.io.native.pafload import load_hits_mt
+
+    monkeypatch.setenv("MINIASM_TPU_FMT3", "0")
+    c4, d4, h4 = load_hits_mt(sim_small["paf"], 2000, 100)
+    monkeypatch.delenv("MINIASM_TPU_FMT3")
+    c3, d3, h3 = load_hits_mt(sim_small["paf"], 2000, 100)
+    n = h4.n_orig
+    assert h3.n_orig == n and h3.n_mirror == h4.n_mirror
+    a4, a3 = np.asarray(c4), np.asarray(c3)
+    assert a4.shape[0] == 4 and a3.shape[0] == 4
+    assert np.array_equal(a4[:, :n], a3[:, :n])
+    assert np.all((a3[0, n:].astype(np.uint32) >> 28) == 0)
+    assert d4.names == d3.names and d4.lens == d3.lens
+    # rank machinery addresses the same raw columns in either format
+    idx = np.concatenate([np.arange(n), h3.cap + np.arange(n)])
+    assert np.array_equal(h3.key_fetch(np.arange(n)),
+                          h4.key_fetch(np.arange(n)))
+    assert np.array_equal(h3.arc_ranks(idx), h4.arc_ranks(idx))
+    h4.free()
+    h3.free()
+
+
+@pytest.mark.skipif(not available(), reason="native lib unavailable")
+def test_mt_loader_fmt3_rle_overflow_downgrade(tmp_path):
+    """A stream whose qid alternates every record overflows the FMT3 RLE
+    sideband (cap = piece/16 boundaries) mid-piece; the loader must
+    truncate the filled prefix, convert it host-side, and continue with
+    4-row pieces — device columns staying aligned with the C++ g_*
+    arrays."""
+    from miniasm_tpu.io.native.pafload import (_MT_CHUNK, load_hits_mt,
+                                               load_hits_v2)
+
+    # default piece = _MT_CHUNK records -> boundary cap = _MT_CHUNK/16;
+    # alternating qids produce one boundary per record, so cap+2000
+    # records guarantee an overflow inside the first piece
+    n_lines = _MT_CHUNK // 16 + 2000
+    p = tmp_path / "alt.paf"
+    with open(p, "w") as f:
+        for i in range(n_lines):
+            f.write("q%d\t9000\t10\t8000\t+\tt%d\t9000\t100\t8100\t"
+                    "6000\t8000\n" % (i % 997, 997 + (i % 991)))
+
+    c1, d1, h1 = load_hits_v2(str(p), 2000, 100)
+    c2, d2, h2 = load_hits_mt(str(p), 2000, 100)
+    n = h1.n_orig
+    assert n == n_lines and h2.n_orig == n
+    a1 = np.asarray(c1)
+    a2 = np.asarray(c2)
+    assert a2.shape[0] == 4, "RLE overflow must downgrade to 4-row, not 7"
+    w0 = a2[0].astype(np.uint32)
+    qsqe = a2[2].astype(np.uint32)
+    tste = a2[3].astype(np.uint32)
+    a2u = np.stack([
+        (w0 & 0x0FFFFFFF).astype(np.int32),
+        (qsqe >> 16).astype(np.int32), (qsqe & 0xFFFF).astype(np.int32),
+        a2[1],
+        (tste >> 16).astype(np.int32), (tste & 0xFFFF).astype(np.int32),
+        (w0 >> 28).astype(np.int32)])
+    assert np.array_equal(a1[:, :n], a2u[:, :n])
+    idx = np.concatenate([np.arange(n), h2.cap + np.arange(n)])
+    idx1 = np.concatenate([np.arange(n), h1.cap + np.arange(n)])
+    assert np.array_equal(h1.arc_ranks(idx1), h2.arc_ranks(idx))
+    h1.free()
+    h2.free()
