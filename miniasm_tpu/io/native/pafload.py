@@ -259,35 +259,56 @@ def _decode3_jit(piece_dev):
     words = piece_dev.shape[0]
     fn = fns.get(words)
     if fn is None:
-        import jax.numpy as jnp
-
-        sz = words * 4 // 13  # words == 3*sz + sz//4
-
-        def _f(flat):
-            n = sz
-            rows = flat[:3 * n].reshape(3, n)
-            fw = flat[3 * n:3 * n + n // 8].astype(jnp.uint32)
-            # nibble unpack via broadcast shifts (a per-record gather of
-            # the word array would price ~7 ns/index; this is elementwise)
-            nib = ((fw[:, None]
-                    >> (4 * jnp.arange(8, dtype=jnp.uint32)[None, :]))
-                   & jnp.uint32(0xF)).reshape(n)
-            bp = flat[3 * n + n // 8: 3 * n + n // 8 + n // 16]
-            bq = flat[3 * n + n // 8 + n // 16: 3 * n + n // 4]
-            # qid = prefix-sum of boundary DELTAS scattered at run starts
-            # (no searchsorted, no gather; padding bp rows are -1)
-            prev = jnp.concatenate([jnp.zeros(1, jnp.int32), bq[:-1]])
-            ok = bp >= 0
-            delta = jnp.where(ok, bq - prev, 0)
-            tgt = jnp.where(ok, bp, n)
-            d = jnp.zeros(n + 1, jnp.int32).at[tgt].add(delta)
-            qid = jnp.cumsum(d[:n])
-            w0 = (qid.astype(jnp.uint32) | (nib << 28)).astype(jnp.int32)
-            return jnp.stack([w0, rows[0], rows[1], rows[2]])
-
-        fn = jax.jit(_f)
+        fn = jax.jit(lambda flat: _decode3_body(flat, words * 4 // 13))
         fns[words] = fn
     return fn(piece_dev)
+
+
+def _decode3_body(flat, n):
+    """Traced FMT3 decode of one flat piece (words == 3*n + n//4)."""
+    import jax.numpy as jnp
+
+    rows = flat[:3 * n].reshape(3, n)
+    fw = flat[3 * n:3 * n + n // 8].astype(jnp.uint32)
+    # nibble unpack via broadcast shifts (a per-record gather of the
+    # word array would price ~7 ns/index; this is elementwise)
+    nib = ((fw[:, None]
+            >> (4 * jnp.arange(8, dtype=jnp.uint32)[None, :]))
+           & jnp.uint32(0xF)).reshape(n)
+    bp = flat[3 * n + n // 8: 3 * n + n // 8 + n // 16]
+    bq = flat[3 * n + n // 8 + n // 16: 3 * n + n // 4]
+    # qid = prefix-sum of boundary DELTAS scattered at run starts
+    # (no searchsorted, no gather; padding bp rows are -1)
+    prev = jnp.concatenate([jnp.zeros(1, jnp.int32), bq[:-1]])
+    ok = bp >= 0
+    delta = jnp.where(ok, bq - prev, 0)
+    tgt = jnp.where(ok, bp, n)
+    d = jnp.zeros(n + 1, jnp.int32).at[tgt].add(delta)
+    qid = jnp.cumsum(d[:n])
+    w0 = (qid.astype(jnp.uint32) | (nib << 28)).astype(jnp.int32)
+    return jnp.stack([w0, rows[0], rows[1], rows[2]])
+
+
+def _decode3_concat_jit(piece_devs):
+    """Decode a pure-FMT3 piece stream and concatenate to the (4, cap)
+    colmat in ONE dispatch (keyed by the tuple of piece lengths, which
+    the ladder makes recur across inputs)."""
+    import jax
+
+    fns = _decode3_concat_jit.__dict__.setdefault("_fns", {})
+    key = tuple(p.shape[0] for p in piece_devs)
+    fn = fns.get(key)
+    if fn is None:
+        import jax.numpy as jnp
+
+        def _f(*flats):
+            return jnp.concatenate(
+                [_decode3_body(f, f.shape[0] * 4 // 13) for f in flats],
+                axis=1)
+
+        fn = jax.jit(_f)
+        fns[key] = fn
+    return fn(*piece_devs)
 
 
 def _fmt3_to_cols(buf, sz, n, rows):
@@ -392,6 +413,28 @@ class HitsMt:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
         return out
 
+    def print_paf(self, sub1, sub2, alive, min_span, max_hang_flt,
+                  min_ovlp_flt, fd):
+        """-p paf fast path: replay the cut/filter passes over the
+        retained records in exact sorted order and stream print_hits
+        (main.c:21-30) lines to fd.  sub1/sub2 are (s, e, del) per-read
+        arrays from the kernel's paf_tables variant; requires the loader
+        to have been opened with retain_full=True."""
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        s1, e1, d1 = sub1
+        s2, e2, d2 = sub2
+        # keep the contiguous copies alive across the call
+        hold = [np.ascontiguousarray(x, np.int32) for x in (s1, e1, s2, e2)]
+        holdb = [np.ascontiguousarray(x, np.uint8) for x in (d1, d2, alive)]
+        return int(self._lib.ma_mt_print_paf(
+            self._res,
+            hold[0].ctypes.data_as(i32p), hold[1].ctypes.data_as(i32p),
+            holdb[0].ctypes.data_as(u8p),
+            hold[2].ctypes.data_as(i32p), hold[3].ctypes.data_as(i32p),
+            holdb[1].ctypes.data_as(u8p), holdb[2].ctypes.data_as(u8p),
+            int(min_span), int(max_hang_flt), int(min_ovlp_flt), int(fd)))
+
     def key_fetch(self, idx):
         """Mirrored-hit sort keys (qid<<32|qs per side) for kernel arc
         indices; no rank build needed."""
@@ -428,7 +471,7 @@ class HitsMt:
 
 def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
                  min_iden=0.05, n_workers=2, upload=True, block_bytes=0,
-                 carry_seed=None):
+                 carry_seed=None, retain_full=False):
     """Pipelined loader: reader + parser threads tokenize and chunk-intern
     while the consumer globalizes ids in order and device_puts fixed-size
     (7, 2^19) pieces, so parsing, H2D transfer, and (via the later
@@ -481,6 +524,15 @@ def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
                                     ctypes.POINTER(ctypes.c_uint64)]
     lib.ma_mt_free.argtypes = [ctypes.c_void_p]
     lib.ma_mt_seed_carry.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.ma_mt_retain_full.argtypes = [ctypes.c_void_p]
+    lib.ma_mt_print_paf.restype = ctypes.c_int64
+    lib.ma_mt_print_paf.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int]
 
     if excl is not None and excl.n_seq:
         blob = b"\0".join(n.encode() for n in excl.names) + b"\0"
@@ -496,6 +548,8 @@ def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
         # nearest complete line before this range (paf.c:56-60 semantics
         # across the split); must precede the first ma_mt_next call
         lib.ma_mt_seed_carry(res, int(carry_seed))
+    if retain_full:
+        lib.ma_mt_retain_full(res)  # -p paf replay needs qe/te/ml/bl/rev
     # Piece schedule: device_put costs ~50 ms fixed on the tunnel, so the
     # bulk of a long stream rides 4*_MT_CHUNK pieces; the TAIL drops back
     # to _MT_CHUNK pieces so the zero-padding (kernel cost ∝ cap) stays
@@ -520,18 +574,14 @@ def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
     upq: "_queue.Queue" = _queue.Queue(maxsize=2)
 
     def _uploader():
+        # flat FMT3 pieces stay flat here: interleaving decode dispatches
+        # between device_puts breaks the tunnel's H2D pipelining (measured
+        # +1s at 100 Mb); the whole stream decodes in ONE dispatch below
         while True:
             item = upq.get()
             if item is None:
                 return
-            if not upload:
-                pieces.append(item)
-            elif item.ndim == 1:
-                # flat FMT3 piece: upload 13 B/record, decode to the
-                # 4-row layout on device (hides under the H2D stream)
-                pieces.append(_decode3_jit(jax.device_put(item)))
-            else:
-                pieces.append(jax.device_put(item))
+            pieces.append(jax.device_put(item) if upload else item)
 
     up_thread = _threading.Thread(target=_uploader)
     up_thread.start()
@@ -611,7 +661,12 @@ def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
         pad_rows = 7 if fmt == 7 else 4  # match the final piece format
         while pad > 0:
             sz = min(pad, 4 * _MT_CHUNK)
-            upq.put(np.zeros((pad_rows, sz), dtype=np.int32))
+            if fmt == 3:
+                # flat zero piece: nibbles 0 -> inert (bpos=0/bqid=0 rows
+                # scatter zero deltas)
+                upq.put(np.zeros(3 * sz + sz // 4, dtype=np.int32))
+            else:
+                upq.put(np.zeros((pad_rows, sz), dtype=np.int32))
             n_pieces += 1
             cap += sz
             pad -= sz
@@ -622,10 +677,15 @@ def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
     if not upload:
         colmat_dev = (pieces[0] if len(pieces) == 1
                       else np.concatenate(pieces, axis=1))
-    elif mixed:
-        pieces = [_unpack4_jit(p) if p.shape[0] == 4 else p for p in pieces]
-        colmat_dev = pieces[0] if len(pieces) == 1 else _concat_jit(*pieces)
+    elif pieces and all(p.ndim == 1 for p in pieces):
+        # pure-FMT3 stream: decode + concatenate in one fused dispatch
+        colmat_dev = (_decode3_jit(pieces[0]) if len(pieces) == 1
+                      else _decode3_concat_jit(pieces))
     else:
+        pieces = [_decode3_jit(p) if p.ndim == 1 else p for p in pieces]
+        if mixed:
+            pieces = [_unpack4_jit(p) if p.shape[0] == 4 else p
+                      for p in pieces]
         colmat_dev = pieces[0] if len(pieces) == 1 else _concat_jit(*pieces)
     h = HitsMt(lib, res, cap=cap)
     d = h.seqdict()

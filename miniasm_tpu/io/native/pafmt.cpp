@@ -39,6 +39,7 @@
 #endif
 
 #include <atomic>
+#include <charconv>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdlib>
@@ -240,6 +241,10 @@ struct MtState {
     // retained global columns for the exact-rank build
     std::vector<int32_t> g_qid, g_tid;
     std::vector<uint32_t> g_qs, g_ts;
+    // full-record retention (-p paf replay): qe/te/ml/bl/rev too
+    bool retain_full = false;
+    std::vector<uint32_t> g_qe, g_te, g_ml, g_bl;
+    std::vector<uint8_t> g_rev;
     // pending: partially-consumed chunk
     Chunk* cur = nullptr;
     int64_t cur_off = 0;
@@ -674,6 +679,18 @@ int64_t mt_next_impl(MtState* st, int32_t* out, int64_t want) {
         st->g_ts.resize(gn + take);
         std::memcpy(st->g_qs.data() + gn, ck->qs.data() + o, take * 4);
         std::memcpy(st->g_ts.data() + gn, ck->ts.data() + o, take * 4);
+        if (st->retain_full) {
+            st->g_qe.resize(gn + take);
+            st->g_te.resize(gn + take);
+            st->g_ml.resize(gn + take);
+            st->g_bl.resize(gn + take);
+            st->g_rev.resize(gn + take);
+            std::memcpy(st->g_qe.data() + gn, ck->qe.data() + o, take * 4);
+            std::memcpy(st->g_te.data() + gn, ck->te.data() + o, take * 4);
+            std::memcpy(st->g_ml.data() + gn, ck->ml.data() + o, take * 4);
+            std::memcpy(st->g_bl.data() + gn, ck->bl.data() + o, take * 4);
+            std::memcpy(st->g_rev.data() + gn, ck->rev.data() + o, take);
+        }
         int64_t mirrors = 0;
         for (int64_t k = 0; k < take; ++k) {
             int32_t gq = gm[ck->qid[o + k]];
@@ -873,6 +890,205 @@ void ma_mt_key_fetch(MtState* st, const int64_t* idx, int64_t n_idx,
             ? (static_cast<uint64_t>(st->g_tid[j]) << 32) | st->g_ts[j]
             : (static_cast<uint64_t>(st->g_qid[j]) << 32) | st->g_qs[j];
     }
+}
+
+// retain qe/te/ml/bl/rev alongside the rank columns (-p paf replay);
+// must be called between ma_mt_begin and the first ma_mt_next*
+void ma_mt_retain_full(MtState* st) { st->retain_full = true; }
+
+}  // extern "C" (reopened below)
+
+namespace {
+
+// scalar ma_hit2arc classification CODE (semantics of miniasm.h:86-104,
+// mirroring the vectorized core/hit2arc.py; only the code matters to the
+// ma_hit_flt keep test, hit.c:195-216): -1 internal, -2 qcont, -3 tcont,
+// -4 short, 0 proper overlap.
+int hit2arc_code(int64_t qs, int64_t qe, int64_t ts, int64_t te, int rev,
+                 int64_t ql, int64_t tl, int64_t max_hang, float int_frac,
+                 int64_t min_ovlp) {
+    int64_t tl5 = rev ? tl - te : ts;
+    int64_t tl3 = rev ? ts : tl - te;
+    int64_t qh5 = qs, qh3 = ql - qe;
+    int64_t ext5 = qh5 < tl5 ? qh5 : tl5;
+    int64_t ext3 = qh3 < tl3 ? qh3 : tl3;
+    int64_t span = qe - qs;
+    if (ext5 > max_hang || ext3 > max_hang ||
+        static_cast<float>(span) <
+            static_cast<float>(span + ext5 + ext3) * int_frac)
+        return -1;
+    if (qh5 <= tl5 && qh3 <= tl3) return -2;
+    if (qh5 >= tl5 && qh3 >= tl3) return -3;
+    if (span + ext5 + ext3 < min_ovlp || (te - ts) + ext5 + ext3 < min_ovlp)
+        return -4;
+    return 0;
+}
+
+// ma_hit_cut coordinate rewrite + keep test (hit.c:162-193; scalar twin
+// of select/fused2._cut_pass including the unsigned e-side min quirk).
+bool cut_replay(int32_t rs, int32_t re, bool rdel, int32_t ts_, int32_t tse,
+                bool tdel, int rev, int64_t min_span, uint32_t& qs,
+                uint32_t& qe, uint32_t& ts, uint32_t& te) {
+    if (rdel || tdel) return false;
+    int64_t qs0 = qs, qe0 = qe, ts0 = ts, te0 = te;
+    int64_t rq_s = rs, rq_e = re, rt_s = ts_, rt_e = tse;
+    int64_t qs1, qe1, ts1, te1;
+    if (rev) {
+        qs1 = te0 < rt_e ? qs0 : qs0 + (te0 - rt_e);
+        qe1 = ts0 > rt_s ? qe0 : qe0 - (rt_s - ts0);
+        ts1 = qe0 < rq_e ? ts0 : ts0 + (qe0 - rq_e);
+        te1 = qs0 > rq_s ? te0 : te0 - (rq_s - qs0);
+    } else {
+        qs1 = ts0 > rt_s ? qs0 : qs0 + (rt_s - ts0);
+        qe1 = te0 < rt_e ? qe0 : qe0 - (te0 - rt_e);
+        ts1 = qs0 > rq_s ? ts0 : ts0 + (rq_s - qs0);
+        te1 = qe0 < rq_e ? te0 : te0 - (qe0 - rq_e);
+    }
+    uint32_t qs2 = static_cast<uint32_t>((qs1 > rq_s ? qs1 : rq_s) - rq_s);
+    uint32_t ts2 = static_cast<uint32_t>((ts1 > rt_s ? ts1 : rt_s) - rt_s);
+    uint32_t ue = static_cast<uint32_t>(qe1);
+    uint32_t qe2 = (ue < static_cast<uint32_t>(rq_e)
+                        ? ue : static_cast<uint32_t>(rq_e))
+                   - static_cast<uint32_t>(rq_s);
+    ue = static_cast<uint32_t>(te1);
+    uint32_t te2 = (ue < static_cast<uint32_t>(rt_e)
+                        ? ue : static_cast<uint32_t>(rt_e))
+                   - static_cast<uint32_t>(rt_s);
+    qs = qs2, qe = qe2, ts = ts2, te = te2;
+    return static_cast<int32_t>(qe2 - qs2) >= min_span &&
+           static_cast<int32_t>(te2 - ts2) >= min_span;
+}
+
+struct PafOut {
+    int fd;
+    std::vector<char> buf;
+    size_t w = 0;
+    explicit PafOut(int f) : fd(f), buf(1 << 22) {}
+    void flush() {
+        size_t off = 0;
+        while (off < w) {
+            ssize_t r = ::write(fd, buf.data() + off, w - off);
+            if (r <= 0) break;
+            off += static_cast<size_t>(r);
+        }
+        w = 0;
+    }
+    inline void need(size_t n) {
+        if (w + n > buf.size()) flush();
+    }
+    inline void put_str(const char* s, size_t n) {
+        std::memcpy(buf.data() + w, s, n);
+        w += n;
+    }
+    inline void put_i(int64_t v) {
+        auto r = std::to_chars(buf.data() + w, buf.data() + buf.size(), v);
+        w = static_cast<size_t>(r.ptr - buf.data());
+    }
+    inline void put_c(char c) { buf[w++] = c; }
+};
+
+}  // namespace
+
+extern "C" {
+
+// -p paf fast path (print_hits, main.c:21-30): replay the two cut passes
+// + the relaxed-parameter filter over the retained records in the exact
+// ksort-sorted mirrored order, printing survivors whose reads outlive
+// containment removal.  Tables come from the device select kernel
+// (per-read, O(n_seq) fetch instead of an O(hits) coordinate download).
+// Requires ma_mt_retain_full before the stream was consumed.
+int64_t ma_mt_print_paf(MtState* st, const int32_t* s1, const int32_t* e1,
+                        const uint8_t* d1, const int32_t* s2,
+                        const int32_t* e2, const uint8_t* d2,
+                        const uint8_t* alive, int64_t min_span,
+                        int64_t max_hang_flt, int64_t min_ovlp_flt,
+                        int fd) {
+    int64_t n = st->n_orig;
+    std::vector<uint64_t> keys;
+    std::vector<int64_t> src;
+    keys.reserve(st->n_mirror);
+    src.reserve(st->n_mirror);
+    for (int64_t i = 0; i < n; ++i) {
+        keys.push_back(static_cast<uint64_t>(st->g_qid[i]) << 32 |
+                       st->g_qs[i]);
+        src.push_back(i << 1);
+        if (st->bi_dir && st->g_qid[i] != st->g_tid[i]) {
+            keys.push_back(static_cast<uint64_t>(st->g_tid[i]) << 32 |
+                           st->g_ts[i]);
+            src.push_back((i << 1) | 1);
+        }
+    }
+    int64_t m = static_cast<int64_t>(keys.size());
+    ma_radix_argsort_u64(keys.data(), src.data(), m);
+
+    PafOut out(fd);
+    int64_t printed = 0;
+    for (int64_t p = 0; p < m; ++p) {
+        int64_t j = src[p] >> 1;
+        int side = static_cast<int>(src[p] & 1);
+        int32_t q, t;
+        uint32_t qs, qe, ts, te;
+        if (!side) {
+            q = st->g_qid[j], t = st->g_tid[j];
+            qs = st->g_qs[j], qe = st->g_qe[j];
+            ts = st->g_ts[j], te = st->g_te[j];
+        } else {  // implied mirror (hit.c:92-98: plain q/t swap)
+            q = st->g_tid[j], t = st->g_qid[j];
+            qs = st->g_ts[j], qe = st->g_te[j];
+            ts = st->g_qs[j], te = st->g_qe[j];
+        }
+        int rev = st->g_rev[j];
+        if (!cut_replay(s1[q], e1[q], d1[q], s1[t], e1[t], d1[t], rev,
+                        min_span, qs, qe, ts, te))
+            continue;
+        int code = hit2arc_code(qs, qe, ts, te, rev,
+                                e1[q] - s1[q], e1[t] - s1[t],
+                                max_hang_flt, 0.5f, min_ovlp_flt);
+        if (code == -1 || code == -4) continue;
+        if (!cut_replay(s2[q], e2[q], d2[q], s2[t], e2[t], d2[t], rev,
+                        min_span, qs, qe, ts, te))
+            continue;
+        if (!alive[q] || !alive[t]) continue;
+        // merged sub frame for the header columns (ma_sub_merge)
+        int64_t mqs = static_cast<int64_t>(s1[q]) + s2[q];
+        int64_t mqe = static_cast<int64_t>(s1[q]) + e2[q];
+        int64_t mts = static_cast<int64_t>(s1[t]) + s2[t];
+        int64_t mte = static_cast<int64_t>(s1[t]) + e2[t];
+        out.need(512 + st->gname_len[q] + st->gname_len[t]);
+        out.put_str(st->gnames[q], st->gname_len[q]);
+        out.put_c(':');
+        out.put_i(mqs + 1);
+        out.put_c('-');
+        out.put_i(mqe);
+        out.put_c('\t');
+        out.put_i(mqe - mqs);
+        out.put_c('\t');
+        out.put_i(qs);
+        out.put_c('\t');
+        out.put_i(qe);
+        out.put_c('\t');
+        out.put_c(rev ? '-' : '+');
+        out.put_c('\t');
+        out.put_str(st->gnames[t], st->gname_len[t]);
+        out.put_c(':');
+        out.put_i(mts + 1);
+        out.put_c('-');
+        out.put_i(mte);
+        out.put_c('\t');
+        out.put_i(mte - mts);
+        out.put_c('\t');
+        out.put_i(ts);
+        out.put_c('\t');
+        out.put_i(te);
+        out.put_c('\t');
+        out.put_i(st->g_ml[j]);
+        out.put_c('\t');
+        out.put_i(st->g_bl[j]);
+        out.put_str("\t255\n", 5);
+        ++printed;
+    }
+    out.flush();
+    return printed;
 }
 
 void ma_mt_join(MtState* st) {

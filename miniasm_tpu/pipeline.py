@@ -66,9 +66,13 @@ def run(paf_fn: str, opt: Opt, *, outfmt: str = "ug", fn_reads: str | None = Non
         snapshot_dir: str | None = None):
     out = out or sys.stdout
 
+    import os as _os
+
     fast_ug = (not no_first and not no_second and stage >= 5
-               and outfmt in ("ug", "sg", "bed"))
-    if snapshot_dir and fast_ug and not no_cont:
+               and (outfmt in ("ug", "sg", "bed")
+                    or (outfmt == "paf"
+                        and _os.environ.get("MINIASM_TPU_LOADER") != "v2")))
+    if snapshot_dir and fast_ug and outfmt in ("ug", "sg") and not no_cont:
         # stage-boundary restore (SURVEY §5): skip Steps 1-3 entirely when
         # a snapshot for this (PAF, options) pair exists
         from .io.snapshot import load_graph_state
@@ -186,9 +190,10 @@ def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir,
 
     loader = (load_hits_v2 if os.environ.get("MINIASM_TPU_LOADER") == "v2"
               else load_hits_mt)
+    kw = {"retain_full": True} if outfmt == "paf" else {}
     colmat_dev, d, h3 = loader(
         paf_fn, opt.min_span, opt.min_match, excl=excl, bi_dir=bi_dir,
-        min_iden=float(opt.min_iden))
+        min_iden=float(opt.min_iden), **kw)
     tick("load+upload")
     log("hit_read", "read %d hits; stored %d hits and %d sequences (%d bp)",
         h3.n_lines, h3.n_mirror, d.n_seq,
@@ -205,7 +210,8 @@ def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir,
     if speculate:
         h3.rank_async()
     arcs, md, counts = select_build2(
-        colmat_dev, d, opt, bi_dir=bi_dir, max_len=h3.max_len)
+        colmat_dev, d, opt, bi_dir=bi_dir, max_len=h3.max_len,
+        paf_tables=(outfmt == "paf"))
     tick("select+fetch")
     n_rem1, n_cut1, n_flt, n_rem2, n_cut2, m_cont = counts[:6]
     log("hit_sub", "%d query sequences remain after sub", n_rem1)
@@ -227,6 +233,40 @@ def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir,
             "containment removal",
             int(np.sum(~d.del_array())), m_cont)
         print_subs(d, md["sub_s"], md["sub_e"], out)
+        tick("emit_done")
+        _tick_t0.pop("t0", None)
+        return None
+
+    if outfmt == "paf":
+        # -p paf fast path (print_hits, main.c:21-30): the native replay
+        # re-derives each surviving hit's cut coordinates from the
+        # kernel's per-read trim tables in the exact sorted mirrored
+        # order — no O(hits) device download
+        alive = md["used"] & ~md["sub_del"] & ~md["cont"]
+        d.mark_deleted(~alive)
+        log("hit_contained", "%d sequences and %d hits remain after "
+            "containment removal", int(np.sum(alive)), m_cont)
+        import io as _io
+        import tempfile
+
+        tmpf = None
+        try:
+            out.flush()
+            fd = out.fileno()
+        except (OSError, AttributeError, _io.UnsupportedOperation):
+            tmpf = tempfile.TemporaryFile()
+            fd = tmpf.fileno()
+        printed = h3.print_paf(
+            md["sub1"], md["sub2"], alive, opt.min_span,
+            int(opt.max_hang * 1.5), int(opt.min_ovlp * 0.5), fd)
+        if printed != m_cont:
+            sys.stderr.write("[W::main] -p paf replay printed %d hits, "
+                             "kernel counted %d\n" % (printed, m_cont))
+        h3.free()
+        if tmpf is not None:
+            tmpf.seek(0)
+            out.write(tmpf.read().decode("latin-1"))
+            tmpf.close()
         tick("emit_done")
         _tick_t0.pop("t0", None)
         return None

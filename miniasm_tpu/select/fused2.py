@@ -283,10 +283,11 @@ def _cut_pass(qid, tid, cqs, cqe, cts, cte, rev, words, pack_se: bool,
 
 @functools.partial(jax.jit, static_argnames=(
     "n_seq_cap", "min_span", "min_dp", "max_hang", "int_frac", "min_ovlp",
-    "bi_dir", "pack_se", "arc_cap", "pack_io", "pack15", "tr_cap"))
+    "bi_dir", "pack_se", "arc_cap", "pack_io", "pack15", "tr_cap",
+    "paf_tables"))
 def _select2_kernel(colmat, *, n_seq_cap, min_span, min_dp, max_hang,
                     int_frac, min_ovlp, bi_dir, pack_se, arc_cap, pack_io,
-                    pack15, tr_cap):
+                    pack15, tr_cap, paf_tables=False):
     """colmat: (7, N) int32 originals [qid qs qe tid ts te flags], or the
     H2D-packed (4, N) layout [qid|flags<<28, tid, qs<<16|qe, ts<<16|te]
     (43% fewer tunnel bytes; the native loader emits it whenever every
@@ -462,9 +463,19 @@ def _select2_kernel(colmat, *, n_seq_cap, min_span, min_dp, max_hang,
     flags = (mdel.astype(I32) | (cont.astype(I32) << 1)
              | (used.astype(I32) << 2) | (pal.astype(I32) << 3))
     if pack_se:
-        meta = jnp.stack([(ms << 16) | me, flags])[:, :n_seq_cap + 1]
+        meta_rows = [(ms << 16) | me, flags]
     else:
-        meta = jnp.stack([ms, me, flags])[:, :n_seq_cap + 1]
+        meta_rows = [ms, me, flags]
+    if paf_tables:
+        # per-pass trim tables for the -p paf replay (print_hits,
+        # main.c:21-30): s|del<<31 and e per pass, per read — an O(n_seq)
+        # fetch replacing an O(hits) coordinate download
+        meta_rows += [
+            (s1.astype(jnp.uint32)
+             | (d1.astype(jnp.uint32) << 31)).astype(I32), e1,
+            (s2.astype(jnp.uint32)
+             | (d2.astype(jnp.uint32) << 31)).astype(I32), e2]
+    meta = jnp.stack(meta_rows)[:, :n_seq_cap + 1]
     counts = jnp.stack([n_rem1, n_cut1, n_flt, n_rem2, n_cut2,
                         m_contained, n_arc, dp_lo, dp_hi, len_lo, len_hi,
                         n_tr1, n_tr2])
@@ -478,7 +489,8 @@ def _next_pow2(x: int) -> int:
     return n
 
 
-def select_build2(colmat_dev, d, opt, *, bi_dir: bool, max_len: int):
+def select_build2(colmat_dev, d, opt, *, bi_dir: bool, max_len: int,
+                  paf_tables: bool = False):
     """Run the dual-sided kernel; returns (arcs dict with idx, meta dict,
     counts list).  Records device-vs-transfer attribution into
     utils.timers.EXTRA: select.kernel_s (dispatch -> counts on host, i.e.
@@ -513,7 +525,7 @@ def select_build2(colmat_dev, d, opt, *, bi_dir: bool, max_len: int):
             min_dp=opt.min_dp, max_hang=opt.max_hang,
             int_frac=float(opt.int_frac), min_ovlp=opt.min_ovlp,
             bi_dir=bi_dir, pack_se=pack_se, arc_cap=arc_cap, pack_io=pack_io,
-            pack15=pack15, tr_cap=tr_cap)
+            pack15=pack15, tr_cap=tr_cap, paf_tables=paf_tables)
         if small_fetch:
             arcmat_h, meta_h, counts = jax.device_get((arcmat, meta,
                                                        counts))
@@ -584,6 +596,13 @@ def select_build2(colmat_dev, d, opt, *, bi_dir: bool, max_len: int):
         "used": ((flags >> 2) & 1).astype(bool),
         "pal": ((flags >> 3) & 1).astype(bool),
     })
+    if paf_tables:
+        base = 2 if pack_se else 3
+        for nm, row in (("sub1", base), ("sub2", base + 2)):
+            sw = meta[row].astype(np.uint32)
+            md[nm] = ((sw & 0x7FFFFFFF).astype(np.int32),
+                      meta[row + 1].astype(np.int32),
+                      (sw >> 31).astype(np.uint8))
     c = [int(x) for x in counts]
     # reassemble the exact 64-bit coverage sums from the 10-bit splits
     md["tot_dp"] = c[7] + (c[8] << 10)
