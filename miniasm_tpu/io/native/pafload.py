@@ -538,8 +538,26 @@ def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
         blob = b"\0".join(n.encode() for n in excl.names) + b"\0"
     else:
         blob = b""
+    # Record-count estimate from the file size (PAF lines are ~70-90 B;
+    # gz assumes 4x) -- a deliberate UNDERestimate so big pieces never
+    # overshoot the stream.
+    import os as _os
+
+    try:
+        fsz = _os.path.getsize(fn) if fn != "-" else 0
+    except OSError:
+        fsz = 0
+    if fn.endswith(".gz"):
+        fsz *= 4
+    est = fsz // 100
+    # piece quantum: small files ride 2^17-record pieces so the padded
+    # capacity tracks the input (at E. coli scale the 2^19 quantum padded
+    # the kernel 40%+, and kernel cost is proportional to capacity); the
+    # {4,5,6,7}x2^k chunk-count ladder applies to either quantum, so both
+    # shape families recur across inputs
+    chunk = _MT_CHUNK if est == 0 or est >= (1 << 22) else (_MT_CHUNK >> 2)
     res = lib.ma_mt_begin(fn.encode(), min_span, min_match, blob, len(blob),
-                          1 if bi_dir else 0, float(min_iden), _MT_CHUNK,
+                          1 if bi_dir else 0, float(min_iden), chunk,
                           n_workers, block_bytes)
     if not res:
         raise FileNotFoundError(2, "could not open PAF file", fn)
@@ -551,20 +569,9 @@ def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
     if retain_full:
         lib.ma_mt_retain_full(res)  # -p paf replay needs qe/te/ml/bl/rev
     # Piece schedule: device_put costs ~50 ms fixed on the tunnel, so the
-    # bulk of a long stream rides 4*_MT_CHUNK pieces; the TAIL drops back
-    # to _MT_CHUNK pieces so the zero-padding (kernel cost ∝ cap) stays
-    # <= _MT_CHUNK.  The record-count estimate is a deliberate UNDER-
-    # estimate from the file size (PAF lines are ~70-90 B; gz assumes 4x),
-    # so the big pieces never overshoot the stream.
-    import os as _os
-
-    try:
-        fsz = _os.path.getsize(fn) if fn != "-" else 0
-    except OSError:
-        fsz = 0
-    if fn.endswith(".gz"):
-        fsz *= 4
-    est = fsz // 100
+    # bulk of a long stream rides 4*chunk pieces; the TAIL drops back to
+    # single-chunk pieces so the zero-padding (kernel cost ∝ cap) stays
+    # <= chunk.
     # uploader thread: device_put's synchronous staging copy overlaps the
     # C++ parse (ma_mt_next releases the GIL)
     import queue as _queue
@@ -599,8 +606,8 @@ def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
     had4 = False
     try:
         while True:
-            big = cap + 4 * _MT_CHUNK <= est
-            sz = 4 * _MT_CHUNK if big else _MT_CHUNK
+            big = cap + 4 * chunk <= est
+            sz = 4 * chunk if big else chunk
             if fmt == 3:
                 buf = np.empty(3 * sz + sz // 4, dtype=np.int32)
                 n = lib.ma_mt_next3(
@@ -655,12 +662,12 @@ def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
         # pieces (inert rows) so the kernel's compiled shape recurs
         # across different input sizes; pure-host consumers (upload=False)
         # slice the padding off anyway, so skip the inflation there
-        want_chunks = (_ladder_chunks(-(-cap // _MT_CHUNK)) if upload
-                       else -(-cap // _MT_CHUNK))
-        pad = want_chunks * _MT_CHUNK - cap
+        want_chunks = (_ladder_chunks(-(-cap // chunk)) if upload
+                       else -(-cap // chunk))
+        pad = want_chunks * chunk - cap
         pad_rows = 7 if fmt == 7 else 4  # match the final piece format
         while pad > 0:
-            sz = min(pad, 4 * _MT_CHUNK)
+            sz = min(pad, 4 * chunk)
             if fmt == 3:
                 # flat zero piece: nibbles 0 -> inert (bpos=0/bqid=0 rows
                 # scatter zero deltas)

@@ -292,14 +292,20 @@ def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir,
           | arcs["l"].astype(np.uint64))
     sk = np.sort(ul)
     has_dup = bool(np.any(sk[1:] == sk[:-1])) if sk.size > 1 else False
-    use_keys = hasattr(h3, "key_fetch")
-    if use_keys:
-        keys = h3.key_fetch(arcs["idx"])
-        if has_dup and keys.size > 1:
-            ku = np.sort(keys)
-            has_dup = bool(np.any(ku[1:] == ku[:-1]))
-    if not has_dup and use_keys:
-        order = np.argsort(keys, kind="stable")
+    dup_hit = counts[13] if len(counts) > 13 else 1
+    if has_dup and dup_hit and hasattr(h3, "build_rank"):
+        # double collision: rebuild the full radix permutation and
+        # reorder (idx was skipped in the main fetch; get it lazily)
+        idx = arcs["idx"]
+        if idx is None:
+            idx = md["fetch_idx"]()
+        h3.build_rank()
+        order = np.argsort(h3.arc_ranks(idx), kind="stable")
+        arcs = {k: arcs[k][order] for k in ("u", "l", "v", "ol")}
+        h3.free()
+    else:
+        # arcs arrived from the device already in by-hit-key stable
+        # order, which is exact here (see the comment above)
         if speculate:
             # a speculative sort may still be running; free() joins it,
             # so release the handle off the critical path (tracked and
@@ -311,12 +317,7 @@ def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir,
             _free_thread.start()
         else:
             h3.free()
-    else:
-        h3.build_rank()
-        order = np.argsort(h3.arc_ranks(arcs["idx"]), kind="stable")
-        h3.free()
     timers.add_extra("rank.join_s", time.time() - t_rank)
-    arcs = {k: arcs[k][order] for k in ("u", "l", "v", "ol")}
     tick("order")
 
     g, sub_s, sub_e, sub_del = graph_from_arcs(

@@ -80,7 +80,7 @@ def _unpack_tab(words, idx, pack_se: bool):
 
 def _sub_pass(qid, tid, cqs, cqe, cts, cte, vq, vm, iden, not_self,
               T: int, min_dp: int, end_clip: int, pack15: bool = False,
-              tr_cap: int | None = None):
+              tr_cap: int | None = None, pack_ev: bool = False):
     """Coverage sweep over the 4 events per original (ma_hit_sub,
     hit.c:109-160).  Returns (s, e, del, has_query, n_remained, n_tr)
     with tables of length T (slot T-1 is never a real read).
@@ -122,11 +122,12 @@ def _sub_pass(qid, tid, cqs, cqe, cts, cte, vq, vm, iden, not_self,
     # matches / identity failures), matching the del=1 rule of hit.c:115,152;
     # computed from the sorted seg column inside sweep_events (has_query=None)
     return sweep_events(seg, key, None, T, min_dp, end_clip, pack15,
-                        tr_cap=tr_cap)
+                        tr_cap=tr_cap, pack_ev=pack_ev)
 
 
 def sweep_events(seg, key, has_query, T: int, min_dp: int, end_clip: int,
-                 pack15: bool, tr_cap: int | None = None):
+                 pack15: bool, tr_cap: int | None = None,
+                 pack_ev: bool = False):
     """Core of the coverage sweep over a prebuilt (seg, key) event array
     (key = clipped_pos*2 | is_end, BIG = skipped).  Split out so the
     sharded step (parallel/full.py) can feed locally-built + exchanged
@@ -150,9 +151,22 @@ def sweep_events(seg, key, has_query, T: int, min_dp: int, end_clip: int,
     if tr_cap is None:
         tr_cap = n4  # always safe: one crossing consumes one event
     tr_cap = min(tr_cap, n4)
-    seg, key = jax.lax.sort([seg, key], num_keys=2)
-
-    valid_ev = key != BIG
+    if pack_ev:
+        # small-scale fast path (T <= 0xFFFF AND every key < 0xFFFF, i.e.
+        # max_len < 32767): pack (seg, key) into one uint32 and run a
+        # 1-key sort (~35% cheaper than 2-key at these sizes); skipped
+        # events carry 0xFFFF in the key field as the sentinel
+        SENT = jnp.uint32(0xFFFF)
+        packed = ((seg.astype(jnp.uint32) << 16)
+                  | jnp.where(key == BIG, SENT, key.astype(jnp.uint32)))
+        packed = jax.lax.sort([packed], num_keys=1)[0]
+        seg = (packed >> 16).astype(I32)
+        keyu = packed & SENT
+        valid_ev = keyu != SENT
+        key = jnp.where(valid_ev, keyu.astype(I32), BIG)
+    else:
+        seg, key = jax.lax.sort([seg, key], num_keys=2)
+        valid_ev = key != BIG
     is_end = (key & 1) == 1
     delta = jnp.where(valid_ev, jnp.where(is_end, -1, 1), 0).astype(I32)
     depth = jnp.cumsum(delta)  # == segment-local depth (see docstring)
@@ -284,10 +298,10 @@ def _cut_pass(qid, tid, cqs, cqe, cts, cte, rev, words, pack_se: bool,
 @functools.partial(jax.jit, static_argnames=(
     "n_seq_cap", "min_span", "min_dp", "max_hang", "int_frac", "min_ovlp",
     "bi_dir", "pack_se", "arc_cap", "pack_io", "pack15", "tr_cap",
-    "paf_tables"))
+    "paf_tables", "pack_ev"))
 def _select2_kernel(colmat, *, n_seq_cap, min_span, min_dp, max_hang,
                     int_frac, min_ovlp, bi_dir, pack_se, arc_cap, pack_io,
-                    pack15, tr_cap, paf_tables=False):
+                    pack15, tr_cap, paf_tables=False, pack_ev=False):
     """colmat: (7, N) int32 originals [qid qs qe tid ts te flags], or the
     H2D-packed (4, N) layout [qid|flags<<28, tid, qs<<16|qe, ts<<16|te]
     (43% fewer tunnel bytes; the native loader emits it whenever every
@@ -311,6 +325,7 @@ def _select2_kernel(colmat, *, n_seq_cap, min_span, min_dp, max_hang,
         qid, qs, qe, tid, ts, te, fl = [colmat[i].astype(I32)
                                         for i in range(7)]
     T = n_seq_cap + 2
+    oqs, ots = qs, ts  # ORIGINAL starts: the mirrored-hit sort keys
     valid0 = (fl & 1) != 0
     rev = (fl >> 1) & 1
     iden = ((fl >> 2) & 1).astype(bool)
@@ -322,7 +337,7 @@ def _select2_kernel(colmat, *, n_seq_cap, min_span, min_dp, max_hang,
     # --- Step 2: crude sweep, end_clip=0 (main.c:122) + cut ---
     s1, e1, d1, _, n_rem1, n_tr1 = _sub_pass(qid, tid, qs, qe, ts, te, vq,
                                              vm, iden, not_self, T, min_dp,
-                                             0, pack15, tr_cap)
+                                             0, pack15, tr_cap, pack_ev)
     w1 = _pack_tab(s1, e1, d1, pack_se)
     keep, qs, qe, ts, te, slq, slt = _cut_pass(qid, tid, qs, qe, ts, te,
                                                rev, w1, pack_se, min_span)
@@ -364,7 +379,7 @@ def _select2_kernel(colmat, *, n_seq_cap, min_span, min_dp, max_hang,
     # exactly the hit_flt coverage denominator set
     s2, e2, d2, has_flt, n_rem2, n_tr2 = _sub_pass(
         qid, tid, qs, qe, ts, te, vq, vm, iden, not_self, T, min_dp,
-        min_span // 2, pack15, tr_cap)
+        min_span // 2, pack15, tr_cap, pack_ev)
     sl1 = e1 - s1
     len_lo = jnp.sum(jnp.where(has_flt, sl1 & 1023, 0))
     len_hi = jnp.sum(jnp.where(has_flt, sl1 >> 10, 0))
@@ -422,12 +437,23 @@ def _select2_kernel(colmat, *, n_seq_cap, min_span, min_dp, max_hang,
     arc_rows = jnp.concatenate([arc_q, arc_m])
     n = qid.shape[0]
     n_arc = jnp.sum(arc_rows)
-    # compact the arc row indices with a 1-key sort (ascending iota of the
-    # selected rows == nonzero order); ~2x cheaper than nonzero's
-    # cumsum+scatter lowering at this size.  arc_cap can exceed the 2n row
-    # count (pow2 retry caps vs ladder-quantized n): pad, don't slice.
-    sidx = jax.lax.sort([jnp.where(arc_rows, jnp.arange(2 * n, dtype=I32),
-                                   BIG)], num_keys=1)[0]
+    # Compact AND order the arcs in one stable 2-key sort by their
+    # mirrored-hit key (qid<<32|qs of the side, ORIGINAL coordinates —
+    # the reference sorts hits before cutting, hit.c:100) with row-order
+    # ties: exactly the by-key stable order the host previously rebuilt
+    # via key_fetch+argsort, so the host skips ordering entirely unless
+    # BOTH a graph key and a hit key are duplicated (counts[13] reports
+    # the hit-key duplicates; see pipeline's order step for the proof).
+    # arc_cap can exceed the 2n row count (pow2 retry caps vs
+    # ladder-quantized n): pad, don't slice.
+    khi = jnp.concatenate([jnp.where(arc_q, qid, BIG),
+                           jnp.where(arc_m, tid, BIG)])
+    klo = jnp.concatenate([oqs, ots])
+    skhi, sklo, sidx = jax.lax.sort(
+        [khi, klo, jnp.arange(2 * n, dtype=I32)], num_keys=2,
+        is_stable=True)
+    dup_hit = jnp.sum((skhi[1:] == skhi[:-1]) & (sklo[1:] == sklo[:-1])
+                      & (skhi[1:] != BIG))
     if arc_cap <= 2 * n:
         idx = sidx[:arc_cap]
     else:
@@ -478,7 +504,7 @@ def _select2_kernel(colmat, *, n_seq_cap, min_span, min_dp, max_hang,
     meta = jnp.stack(meta_rows)[:, :n_seq_cap + 1]
     counts = jnp.stack([n_rem1, n_cut1, n_flt, n_rem2, n_cut2,
                         m_contained, n_arc, dp_lo, dp_hi, len_lo, len_hi,
-                        n_tr1, n_tr2])
+                        n_tr1, n_tr2, dup_hit])
     return arcmat, meta, counts
 
 
@@ -505,6 +531,9 @@ def select_build2(colmat_dev, d, opt, *, bi_dir: bool, max_len: int,
     pack_se = bool(max_len < 65535)
     pack15 = bool(max_len < 32768)
     pack_io = pack_se and n_seq_cap <= 32768
+    # single-word event sort (E. coli-scale): seg and key both fit one
+    # uint32
+    pack_ev = bool(max_len < 32767 and n_seq_cap + 2 <= 0xFFFF)
     if _os.environ.get("MINIASM_TPU_PACKIO") == "0":
         pack_io = False  # test hook: forces the 4-row big-config format
     cap = colmat_dev.shape[1]
@@ -525,7 +554,8 @@ def select_build2(colmat_dev, d, opt, *, bi_dir: bool, max_len: int,
             min_dp=opt.min_dp, max_hang=opt.max_hang,
             int_frac=float(opt.int_frac), min_ovlp=opt.min_ovlp,
             bi_dir=bi_dir, pack_se=pack_se, arc_cap=arc_cap, pack_io=pack_io,
-            pack15=pack15, tr_cap=tr_cap, paf_tables=paf_tables)
+            pack15=pack15, tr_cap=tr_cap, paf_tables=paf_tables,
+            pack_ev=pack_ev)
         if small_fetch:
             arcmat_h, meta_h, counts = jax.device_get((arcmat, meta,
                                                        counts))
@@ -542,15 +572,20 @@ def select_build2(colmat_dev, d, opt, *, bi_dir: bool, max_len: int,
             tr_cap = min(_next_pow2(n_tr), 4 * cap)
     add_extra("select.kernel_s", _time.time() - t0)
     t0 = _time.time()
+    fetch_idx = None
     if small_fetch:
         arcmat, meta = arcmat_h, meta_h
     else:
         # fetch only the filled arc slots (rounded up to a 64K bucket so
-        # the tiny slice op compiles once per bucket): the tunnel moves
-        # ~34 MB/s D2H, so skipping the empty tail of arcmat is worth more
-        # than the extra slice dispatch
+        # the tiny slice op compiles once per bucket) and SKIP the idx
+        # row: arcs arrive pre-ordered from the device, so idx is only
+        # needed by the rare exact-rank fallback (lazy second fetch)
         fetch_cap = min(arc_cap, max(65536, -(-n_arc // 65536) * 65536))
-        arcmat, meta = jax.device_get((arcmat[:, :fetch_cap], meta))
+        arcmat_dev = arcmat
+        arcmat, meta = jax.device_get((arcmat[:-1, :fetch_cap], meta))
+
+        def fetch_idx(_dev=arcmat_dev, _cap=fetch_cap, _n=n_arc):
+            return jax.device_get(_dev[-1, :_cap])[:_n].astype(np.int64)
     add_extra("select.fetch_s", _time.time() - t0)
     if pack_io:
         uv = arcmat[0, :n_arc].astype(np.uint32)
@@ -560,8 +595,8 @@ def select_build2(colmat_dev, d, opt, *, bi_dir: bool, max_len: int,
             "v": (uv & 0xFFFF).astype(np.int32),
             "l": (lol >> 16).astype(np.int32),
             "ol": (lol & 0xFFFF).astype(np.int32),
-            "idx": arcmat[2, :n_arc].astype(np.int64),
         }
+        idx_row = 2
     elif pack_se:
         lol = arcmat[2, :n_arc].astype(np.uint32)
         arcs = {
@@ -569,16 +604,20 @@ def select_build2(colmat_dev, d, opt, *, bi_dir: bool, max_len: int,
             "v": arcmat[1, :n_arc].astype(np.int32),
             "l": (lol >> 16).astype(np.int32),
             "ol": (lol & 0xFFFF).astype(np.int32),
-            "idx": arcmat[3, :n_arc].astype(np.int64),
         }
+        idx_row = 3
     else:
         arcs = {
             "u": arcmat[0, :n_arc].astype(np.int32),
             "l": arcmat[1, :n_arc].astype(np.int32),
             "v": arcmat[2, :n_arc].astype(np.int32),
             "ol": arcmat[3, :n_arc].astype(np.int32),
-            "idx": arcmat[4, :n_arc].astype(np.int64),
         }
+        idx_row = 4
+    if small_fetch:
+        arcs["idx"] = arcmat[idx_row, :n_arc].astype(np.int64)
+    else:
+        arcs["idx"] = None
     meta = meta[:, :n_seq]
     if pack_se:
         sme = meta[0].astype(np.uint32)
@@ -607,4 +646,5 @@ def select_build2(colmat_dev, d, opt, *, bi_dir: bool, max_len: int,
     # reassemble the exact 64-bit coverage sums from the 10-bit splits
     md["tot_dp"] = c[7] + (c[8] << 10)
     md["tot_len"] = c[9] + (c[10] << 10)
+    md["fetch_idx"] = fetch_idx
     return arcs, md, c
