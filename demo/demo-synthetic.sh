@@ -4,6 +4,9 @@
 # not possible in a zero-egress environment).  Simulates a 4.6 Mb genome at
 # 40x, assembles, converts unitigs to FASTA, and renders a dot plot.
 set -e
+# make the in-repo package importable from any working directory
+REPO=$(cd "$(dirname "$0")/.." && pwd)
+export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
 DIR=${1:-/tmp/miniasm_tpu_demo}
 mkdir -p "$DIR"
 python - "$DIR" <<'PY'

@@ -9,6 +9,9 @@
 # environment run demo-synthetic.sh with GENOME_LEN=100000000 instead for
 # a worm-scale synthetic stand-in.
 set -e
+# make the in-repo package importable from any working directory
+REPO=$(cd "$(dirname "$0")/.." && pwd)
+export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
 prefix=${1:-ce-40X}
 
 if [ ! -f $prefix.fa.gz ]; then
@@ -51,11 +54,26 @@ EOF
 fi
 
 # Overlap (shorter N50 without -I6G); ava-pb is minimap2's preset for the
-# original minimap's -Sw5 -L100 -m0
-minimap2 -x ava-pb -t8 -I6G $prefix.fa.gz $prefix.fa.gz 2> $prefix.paf.gz.log | gzip -1 > $prefix.paf.gz
+# original minimap's -Sw5 -L100 -m0.  Skipped when a PAF is already
+# present (operator drop-in for offline environments).
+if [ ! -f $prefix.paf.gz ]; then
+    minimap2 -x ava-pb -t8 -I6G $prefix.fa.gz $prefix.fa.gz 2> $prefix.paf.gz.log | gzip -1 > $prefix.paf.gz
+fi
 
 # Layout
 python -m miniasm_tpu.cli -f $prefix.fa.gz $prefix.paf.gz > $prefix.gfa 2> $prefix.gfa.log
 
 # Convert to FASTA
 awk '/^S/{print ">"$2"\n"$3}' $prefix.gfa > $prefix.utg.fa
+
+# Reference byte-parity when the lh3/miniasm sources are reachable
+REF_SRC=${MINIASM_REF_SRC:-/root/reference}
+if [ -d "$REF_SRC" ] && [ -f "$REF_SRC/main.c" ]; then
+    mkdir -p ref_build
+    cp "$REF_SRC"/*.c "$REF_SRC"/*.h "$REF_SRC"/Makefile ref_build/ 2>/dev/null
+    ( cd ref_build && make -s -j4 ) 2> ref_build.log || true
+    if [ -x ref_build/miniasm ]; then
+        ./ref_build/miniasm -f $prefix.fa.gz $prefix.paf.gz > $prefix.ref.gfa 2>/dev/null
+        cmp -s $prefix.gfa $prefix.ref.gfa && echo "BYTE-IDENTICAL to reference miniasm" || { echo "MISMATCH vs reference" >&2; exit 1; }
+    fi
+fi

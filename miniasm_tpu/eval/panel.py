@@ -33,6 +33,11 @@ PANEL = [
     ("circular", 150_000, 20.0, 8000, 0.0, True),
     ("circular-drop25", 150_000, 35.0, 8000, 0.25, True),
     ("big-drop35", 600_000, 20.0, 9000, 0.35, False),
+    # 10 Mb noisy member: exercises the capacity ladder's big-file
+    # quantum, retry-free tr_cap sizing, and cleaning at a scale the
+    # 200-600 kb members never reach, still under the ref-anchored
+    # byte-identity assertion (VERDICT r4 weak #5)
+    ("10Mb-drop40", 10_000_000, 25.0, 9000, 0.40, False),
 ]
 
 

@@ -27,27 +27,35 @@ def measure(paf_fn: str, n_devices_list, *, repeats: int = 3) -> dict:
     from ..pipeline import run as run_single
 
     opt = Opt()
-    rates: dict[int, float] = {}
-    n_mirror = None
+
+    def one(n):
+        buf = io.StringIO()
+        t0 = time.time()
+        if n == 1:
+            run_single(paf_fn, opt, outfmt="ug", out=buf)
+        else:
+            run_sharded(paf_fn, opt, make_mesh(n), outfmt="ug", out=buf)
+        return time.time() - t0
+
+    # warm-compile every config first, then INTERLEAVE the timed rounds
+    # (1, 2, .., N, 1, 2, .., N, ...): VM noise and tunnel drift hit all
+    # configs of a round equally, so the per-round PAIRED ratio
+    # wall_1/wall_n is far tighter than comparing block medians
     for n in n_devices_list:
-        times = []
-        for _ in range(repeats + 1):  # first run compiles
-            buf = io.StringIO()
-            t0 = time.time()
-            if n == 1:
-                run_single(paf_fn, opt, outfmt="ug", out=buf)
-            else:
-                run_sharded(paf_fn, opt, make_mesh(n), outfmt="ug", out=buf)
-            times.append(time.time() - t0)
-        if n_mirror is None:
-            # overlaps processed = mirrored hit count (the reference's unit)
-            from ..io.paf import load_paf
+        one(n)
+    walls: dict[int, list] = {n: [] for n in n_devices_list}
+    for _ in range(repeats):
+        for n in n_devices_list:
+            walls[n].append(one(n))
 
-            load = load_paf(paf_fn, opt.min_span, opt.min_match)
-            import numpy as np
+    # overlaps processed = mirrored hit count (the reference's unit)
+    from ..io.paf import load_paf
 
-            n_mirror = len(load.qid) + int(np.sum(load.qid != load.tid))
-        rates[n] = n_mirror / min(times[1:])
+    load = load_paf(paf_fn, opt.min_span, opt.min_match)
+    import numpy as np
+
+    n_mirror = len(load.qid) + int(np.sum(load.qid != load.tid))
+    rates = {n: n_mirror / min(ws) for n, ws in walls.items()}
     base = rates.get(1)
     # raw efficiency r/(base*n) is structurally bounded by 1/n on a
     # TIME-SLICED virtual mesh (all shards share the same cores), so the
@@ -57,15 +65,28 @@ def measure(paf_fn: str, n_devices_list, *, repeats: int = 3) -> dict:
     # sharded_rate ... inverted: single_wall / sharded_wall.
     eff = {n: (r / (base * n) if base else 0.0) for n, r in rates.items()}
     proj = {n: (r / base if base else 0.0) for n, r in rates.items()}
+    paired = {}
+    if 1 in walls:
+        for n, ws in walls.items():
+            rs = [w1 / wn for w1, wn in zip(walls[1], ws)]
+            paired[str(n)] = {
+                "per_round": [round(x, 3) for x in rs],
+                "median": round(sorted(rs)[len(rs) // 2], 3),
+                "min": round(min(rs), 3), "max": round(max(rs), 3)}
     return {"overlaps": n_mirror,
             "overlaps_per_s": {str(n): round(r) for n, r in rates.items()},
             "efficiency_timesliced": {str(n): round(e, 3)
                                       for n, e in eff.items()},
             "projected_efficiency": {str(n): round(e, 3)
                                      for n, e in proj.items()},
+            "paired_projected_efficiency": paired,
             "note": "virtual CPU mesh: shards time-slice the same cores; "
                     "projected_efficiency = total-work ratio vs single "
-                    "(collective+padding overhead), the real-ICI proxy"}
+                    "(collective+padding overhead), the real-ICI proxy. "
+                    "paired_* uses interleaved rounds (1..N repeated) so "
+                    "VM/tunnel drift cancels within each round; real-ICI "
+                    "numbers require running this harness unchanged on an "
+                    "actual multi-chip slice."}
 
 
 def main(argv):

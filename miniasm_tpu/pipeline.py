@@ -296,6 +296,7 @@ def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir,
     if has_dup and dup_hit and hasattr(h3, "build_rank"):
         # double collision: rebuild the full radix permutation and
         # reorder (idx was skipped in the main fetch; get it lazily)
+        timers.add_extra("rank.fallback", 1)
         idx = arcs["idx"]
         if idx is None:
             idx = md["fetch_idx"]()

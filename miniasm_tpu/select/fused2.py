@@ -437,29 +437,37 @@ def _select2_kernel(colmat, *, n_seq_cap, min_span, min_dp, max_hang,
     arc_rows = jnp.concatenate([arc_q, arc_m])
     n = qid.shape[0]
     n_arc = jnp.sum(arc_rows)
-    # Compact AND order the arcs in one stable 2-key sort by their
-    # mirrored-hit key (qid<<32|qs of the side, ORIGINAL coordinates —
-    # the reference sorts hits before cutting, hit.c:100) with row-order
-    # ties: exactly the by-key stable order the host previously rebuilt
-    # via key_fetch+argsort, so the host skips ordering entirely unless
-    # BOTH a graph key and a hit key are duplicated (counts[13] reports
-    # the hit-key duplicates; see pipeline's order step for the proof).
-    # arc_cap can exceed the 2n row count (pow2 retry caps vs
-    # ladder-quantized n): pad, don't slice.
-    khi = jnp.concatenate([jnp.where(arc_q, qid, BIG),
-                           jnp.where(arc_m, tid, BIG)])
-    klo = jnp.concatenate([oqs, ots])
-    skhi, sklo, sidx = jax.lax.sort(
-        [khi, klo, jnp.arange(2 * n, dtype=I32)], num_keys=2,
-        is_stable=True)
-    dup_hit = jnp.sum((skhi[1:] == skhi[:-1]) & (sklo[1:] == sklo[:-1])
-                      & (skhi[1:] != BIG))
+    # Compact the arc row indices with a 1-key sort (ascending iota of
+    # the selected rows == nonzero order), then ORDER the compacted arcs
+    # by their mirrored-hit key (qid<<32|qs of the side, ORIGINAL
+    # coordinates — the reference sorts hits before cutting, hit.c:100)
+    # with a SECOND stable sort at arc scale (~2M rows, ~free) instead of
+    # key-sorting all 2n rows: same stable by-key row-order-tie
+    # permutation the host previously rebuilt via key_fetch+argsort, so
+    # the host skips ordering entirely unless BOTH a graph key and a hit
+    # key are duplicated (counts[13] reports the hit-key duplicates; see
+    # pipeline's order step for the proof).  arc_cap can exceed the 2n
+    # row count (pow2 retry caps vs ladder-quantized n): pad, don't
+    # slice.
+    sidx = jax.lax.sort([jnp.where(arc_rows, jnp.arange(2 * n, dtype=I32),
+                                   BIG)], num_keys=1)[0]
     if arc_cap <= 2 * n:
         idx = sidx[:arc_cap]
     else:
         idx = jnp.concatenate([sidx, jnp.full(arc_cap - 2 * n, BIG, I32)])
     idx = jnp.minimum(idx, 2 * n - 1)
     ok = jnp.arange(arc_cap, dtype=I32) < n_arc
+    # arc-scale key ordering: gather the hit keys at the compacted rows
+    # and stable-sort just those (ties keep the row order established by
+    # the compaction sort above)
+    khi = jnp.where(ok, jnp.concatenate([qid, tid])[idx], BIG)
+    klo = jnp.concatenate([oqs, ots])[idx]
+    skhi, sklo, perm = jax.lax.sort(
+        [khi, klo, jnp.arange(arc_cap, dtype=I32)], num_keys=2,
+        is_stable=True)
+    dup_hit = jnp.sum((skhi[1:] == skhi[:-1]) & (sklo[1:] == sklo[:-1])
+                      & (skhi[1:] != BIG))
+    idx = idx[perm]
     if pack_io:
         # pack (u,v) and (l,ol) BEFORE the gather: 2 gathers instead of 4
         uv = jnp.concatenate([(cq["u"] << 16) | cq["v"],
@@ -548,7 +556,9 @@ def select_build2(colmat_dev, d, opt, *, bi_dir: bool, max_len: int,
     # E. coli-scale run
     small_fetch = arc_cap <= (1 << 18)
     t0 = _time.time()
+    retries = -1
     while True:
+        retries += 1
         arcmat, meta, counts = _select2_kernel(
             colmat_dev, n_seq_cap=n_seq_cap, min_span=opt.min_span,
             min_dp=opt.min_dp, max_hang=opt.max_hang,
@@ -571,6 +581,8 @@ def select_build2(colmat_dev, d, opt, *, bi_dir: bool, max_len: int,
         if n_tr > tr_cap:
             tr_cap = min(_next_pow2(n_tr), 4 * cap)
     add_extra("select.kernel_s", _time.time() - t0)
+    if retries:
+        add_extra("select.retries", retries)
     t0 = _time.time()
     fetch_idx = None
     if small_fetch:
