@@ -37,19 +37,6 @@ from .utils.timers import log
 # (stage -> seconds since run start); bench.py reads this
 LAST_TIMING: dict = {}
 
-# speculative-path free() thread of the previous run (the multi-second rank
-# radix may still be running on it); joined at the next run's start so at
-# most one stale sort ever overlaps live work (and bench timings don't
-# inherit a previous run's worker threads)
-_free_thread = None
-
-
-def _join_stale_free():
-    global _free_thread
-    if _free_thread is not None:
-        _free_thread.join()
-        _free_thread = None
-
 
 def _apply_cut(hits: Hits, keep, qs, qe, ts, te) -> Hits:
     keep = np.asarray(keep)
@@ -177,7 +164,6 @@ def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir,
     from .utils import timers
 
     timing = os.environ.get("MINIASM_TPU_TIMING")
-    _join_stale_free()
     t0 = time.time()
     LAST_TIMING.clear()
     timers.EXTRA.clear()
@@ -200,15 +186,12 @@ def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir,
         int(np.sum(d.lens_array(), dtype=np.uint64)))
 
     sys.stderr.write("[M::main] ===> Step 2: 1-pass (crude) read selection <===\n")
-    # Speculative rank build: duplicate graph keys (which force the full
-    # exact-permutation sort, see the order step below) are an
-    # arc-count birthday problem — absent at 27.6M mirrored hits,
-    # present by 55M (measured).  Above the threshold, start the sort on
-    # a side thread now so a fallback finds it (mostly) done; below it,
-    # the sort would be pure wasted contention with the tunnel client.
-    speculate = (h3.n_mirror >= 40_000_000 and hasattr(h3, "rank_async"))
-    if speculate:
-        h3.rank_async()
+    # No speculative rank build: the exact-rank fallback now requires a
+    # graph key AND a hit key both duplicated among surviving arcs
+    # (measured absent even at 55M mirrored hits, SCALE_r05), and the
+    # ~2s radix on a side thread starved against the tunnel client's
+    # spinning service threads on this 2-core host — the expected cost
+    # of always speculating exceeded the rare exposed fallback.
     arcs, md, counts = select_build2(
         colmat_dev, d, opt, bi_dir=bi_dir, max_len=h3.max_len,
         paf_tables=(outfmt == "paf"))
@@ -307,17 +290,7 @@ def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir,
     else:
         # arcs arrived from the device already in by-hit-key stable
         # order, which is exact here (see the comment above)
-        if speculate:
-            # a speculative sort may still be running; free() joins it,
-            # so release the handle off the critical path (tracked and
-            # joined at the start of the next run)
-            import threading
-
-            global _free_thread
-            _free_thread = threading.Thread(target=h3.free, daemon=True)
-            _free_thread.start()
-        else:
-            h3.free()
+        h3.free()
     timers.add_extra("rank.join_s", time.time() - t_rank)
     tick("order")
 
