@@ -28,25 +28,35 @@ def measure(paf_fn: str, n_devices_list, *, repeats: int = 3) -> dict:
 
     opt = Opt()
 
-    def one(n):
+    def one(n, sharded1=False):
         buf = io.StringIO()
         t0 = time.time()
-        if n == 1:
+        if n == 1 and not sharded1:
             run_single(paf_fn, opt, outfmt="ug", out=buf)
         else:
             run_sharded(paf_fn, opt, make_mesh(n), outfmt="ug", out=buf)
         return time.time() - t0
 
     # warm-compile every config first, then INTERLEAVE the timed rounds
-    # (1, 2, .., N, 1, 2, .., N, ...): VM noise and tunnel drift hit all
-    # configs of a round equally, so the per-round PAIRED ratio
-    # wall_1/wall_n is far tighter than comparing block medians
-    for n in n_devices_list:
-        one(n)
-    walls: dict[int, list] = {n: [] for n in n_devices_list}
+    # (1, 1s, 2, .., N, 1, 1s, 2, .., N, ...): VM noise and tunnel drift
+    # hit all configs of a round equally, so the per-round PAIRED ratio
+    # wall_1/wall_n is far tighter than comparing block medians.  "1s" is
+    # the SHARDED program on one device: sharded@N vs sharded@1 isolates
+    # the collective/padding overhead (the real-ICI question) from the
+    # structure cost of the sharded program vs the fused single-device
+    # kernel (which a future round can close by porting the fused
+    # 4-lane event design into the sharded step).
+    configs = [(n, False) for n in n_devices_list]
+    if 1 in n_devices_list:
+        configs.insert(1, (1, True))
+    for cfg in configs:
+        one(*cfg)
+    walls: dict = {cfg: [] for cfg in configs}
     for _ in range(repeats):
-        for n in n_devices_list:
-            walls[n].append(one(n))
+        for cfg in configs:
+            walls[cfg].append(one(*cfg))
+    walls1s = walls.pop((1, True), None)
+    walls = {n: ws for (n, s1), ws in walls.items()}
 
     # overlaps processed = mirrored hit count (the reference's unit)
     from ..io.paf import load_paf
@@ -73,20 +83,44 @@ def measure(paf_fn: str, n_devices_list, *, repeats: int = 3) -> dict:
                 "per_round": [round(x, 3) for x in rs],
                 "median": round(sorted(rs)[len(rs) // 2], 3),
                 "min": round(min(rs), 3), "max": round(max(rs), 3)}
+    self_eff = {}
+    structure_cost = None
+    if walls1s is not None:
+        # sharded-program self efficiency: wall(sharded@1)/wall(sharded@n)
+        # — prices ONLY the collectives + exchange padding added by n>1
+        for n, ws in walls.items():
+            if n == 1:
+                continue
+            rs = [w1 / wn for w1, wn in zip(walls1s, ws)]
+            self_eff[str(n)] = {
+                "per_round": [round(x, 3) for x in rs],
+                "median": round(sorted(rs)[len(rs) // 2], 3),
+                "min": round(min(rs), 3), "max": round(max(rs), 3)}
+        if 1 in walls:
+            structure_cost = round(
+                sorted(w1s / w1 for w1s, w1 in zip(walls1s, walls[1]))
+                [len(walls1s) // 2], 3)
     return {"overlaps": n_mirror,
+            "sharded_self_efficiency": self_eff,
+            "sharded_structure_cost_vs_fused_single": structure_cost,
             "overlaps_per_s": {str(n): round(r) for n, r in rates.items()},
             "efficiency_timesliced": {str(n): round(e, 3)
                                       for n, e in eff.items()},
             "projected_efficiency": {str(n): round(e, 3)
                                      for n, e in proj.items()},
             "paired_projected_efficiency": paired,
-            "note": "virtual CPU mesh: shards time-slice the same cores; "
-                    "projected_efficiency = total-work ratio vs single "
-                    "(collective+padding overhead), the real-ICI proxy. "
-                    "paired_* uses interleaved rounds (1..N repeated) so "
-                    "VM/tunnel drift cancels within each round; real-ICI "
-                    "numbers require running this harness unchanged on an "
-                    "actual multi-chip slice."}
+            "note": "virtual CPU mesh: shards time-slice the same cores. "
+                    "sharded_self_efficiency (sharded@1 / sharded@N total "
+                    "work) prices ONLY the collectives+exchange padding "
+                    "the mesh adds — the real-ICI 2-host question; "
+                    "projected_efficiency divides by the FUSED single-"
+                    "device kernel, which r5 made ~3x faster than the "
+                    "sharded program structure (structure_cost field), so "
+                    "that ratio now mostly measures the un-ported fused "
+                    "optimizations, not scaling.  paired_* uses "
+                    "interleaved rounds so VM/tunnel drift cancels; "
+                    "real-ICI numbers require running this harness "
+                    "unchanged on an actual multi-chip slice."}
 
 
 def main(argv):

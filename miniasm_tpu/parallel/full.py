@@ -148,7 +148,7 @@ def _partition(cols, n_seq, n_shards):
 
 
 def _make_select_step(mesh, n_seq, n_seq_cap, opt, *, per, block, cap,
-                      pack_se, arc_cap, tr_cap=None):
+                      pack_se, arc_cap, tr_cap=None, pack_ev=False):
     """Sharded Steps 2-3 with DUAL-SIDED rows and per-pass EVENT exchange.
 
     Every original row stays at its query's owner and carries both its
@@ -247,8 +247,9 @@ def _make_select_step(mesh, n_seq, n_seq_cap, opt, *, per, block, cap,
             rtid = jnp.where(rv, r[0], dump)
             rpres = rv & ((r[3] & 1) != 0)
             rok = rv & ((r[3] & 2) != 0)
-            segq = jnp.where(vq, qid, jnp.int32(T))
-            segr = jnp.where(rpres, rtid, jnp.int32(T))
+            spad = jnp.int32(0xFFFF if pack_ev else T)
+            segq = jnp.where(vq, qid, spad)
+            segr = jnp.where(rpres, rtid, spad)
             seg = jnp.concatenate([segq, segq, segr, segr])
             key = jnp.concatenate([
                 jnp.where(okq, (cqs + end_clip) * 2, BIG),
@@ -263,7 +264,8 @@ def _make_select_step(mesh, n_seq, n_seq_cap, opt, *, per, block, cap,
             # transition scale; n_tr rides the counts so the host can
             # validate and re-jit with a bigger cap on overflow
             return sweep_events(seg, key, has_query, T, opt.min_dp,
-                                end_clip, False, tr_cap=tr_cap)
+                                end_clip, False, tr_cap=tr_cap,
+                                pack_ev=pack_ev)
 
         # ---- Step 2: crude sweep + cut (main.c:122-125) ----
         s1, e1, d1, _, n_rem1, n_tr1 = sweep(qs, qe, ts, te, vq, vm, 0)
@@ -406,9 +408,10 @@ def run_sharded(paf_fn, opt: Opt, mesh, *, outfmt: str = "ug",
         int(np.sum(d.lens_array(), dtype=np.uint64)))
 
     hostmat, per, block, cap = _partition(cols, n_seq, n_sh)
-    rank = _mirror_ranks(cols, d)
     max_len = int(np.max(d.lens_array())) if n_seq else 0
     pack_se = bool(max_len < 65535)
+    # single-word event sort at small scale (same gate as select_build2)
+    pack_ev = bool(max_len < 32767 and n_seq + 2 <= 0xFFFF)
     # capacity proof (no overflow retry needed): every local row yields at
     # most TWO arcs (its own orientation + the implied mirror; hit2arc
     # returns one arc or a non-arc code per side, miniasm.h:86-104), so
@@ -423,7 +426,8 @@ def run_sharded(paf_fn, opt: Opt, mesh, *, outfmt: str = "ug",
     while True:
         step = _make_select_step(mesh, n_seq, n_seq_cap, opt, per=per,
                                  block=block, cap=cap, pack_se=pack_se,
-                                 arc_cap=arc_cap, tr_cap=tr_cap)
+                                 arc_cap=arc_cap, tr_cap=tr_cap,
+                                 pack_ev=pack_ev)
         arcmat, meta, counts = jax.jit(step)(gmat)
         arcmat, meta, counts = jax.device_get((arcmat, meta, counts))
         n_tr = max(int(counts[11]), int(counts[12]))
@@ -452,7 +456,30 @@ def run_sharded(paf_fn, opt: Opt, mesh, *, outfmt: str = "ug",
         "v": arcmat[2][live].astype(np.int32),
         "ol": arcmat[3][live].astype(np.int32),
     }
-    order = np.argsort(rank[gids[live]], kind="stable")
+    # exact arc order without the 2N-key rank build: stable by-hit-key
+    # sorting is exact unless a graph key AND a hit key are both
+    # duplicated among survivors (same rule and proof as the fused
+    # single-device path, pipeline._run_fast_v2's order step)
+    ag = gids[live].astype(np.int64)
+    rec = ag >> 1
+    side = ag & 1
+    keys = np.where(side == 1,
+                    (cols[3][rec].astype(np.uint64) << np.uint64(32))
+                    | cols[4][rec].astype(np.uint64),
+                    (cols[0][rec].astype(np.uint64) << np.uint64(32))
+                    | cols[1][rec].astype(np.uint64))
+    ul = ((arcs["u"].astype(np.uint64) << np.uint64(32))
+          | arcs["l"].astype(np.uint64))
+    su = np.sort(ul)
+    need_full = bool(np.any(su[1:] == su[:-1])) if su.size > 1 else False
+    if need_full and keys.size > 1:
+        ks = np.sort(keys)
+        need_full = bool(np.any(ks[1:] == ks[:-1]))
+    if need_full:
+        rank = _mirror_ranks(cols, d)
+        order = np.argsort(rank[ag], kind="stable")
+    else:
+        order = np.argsort(keys, kind="stable")
     arcs = {k: v[order] for k, v in arcs.items()}
 
     g, sub_s, sub_e, sub_del = graph_from_arcs(

@@ -358,10 +358,11 @@ def worker(paf_fn: str, out_fn: str, *, coordinator: str, num_procs: int,
 
     max_len = int(np.max(d.lens_array())) if n_seq else 0
     pack_se = bool(max_len < 65535)
+    pack_ev = bool(max_len < 32767 and n_seq + 2 <= 0xFFFF)
     arc_cap = 2 * per
     step = _make_select_step(mesh, n_seq, n_seq_cap, opt, per=per,
                              block=block, cap=cap, pack_se=pack_se,
-                             arc_cap=arc_cap)
+                             arc_cap=arc_cap, pack_ev=pack_ev)
     if me == 0:
         sys.stderr.write("[M::main] ===> Step 2: 1-pass (crude) read "
                          "selection <===\n")

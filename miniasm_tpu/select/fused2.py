@@ -99,7 +99,10 @@ def _sub_pass(qid, tid, cqs, cqe, cts, cte, vq, vm, iden, not_self,
     at this size).  The per-segment depth
     rebase is free: every ok side contributes a (+1,-1) pair, so segment
     sums are zero and the global cumsum IS the segment-local depth."""
-    segpad = jnp.int32(T)
+    # pack_ev packs seg into 16 bits, so the pad must fit too: 0xFFFF is
+    # safe because the gate requires n_seq + 2 <= 0xFFFF (real ids stay
+    # strictly below the pad; the pad maps to an unused table slot)
+    segpad = jnp.int32(0xFFFF if pack_ev else T)
 
     okq = vq & not_self & iden
     okm = vm & not_self & iden
@@ -539,9 +542,12 @@ def select_build2(colmat_dev, d, opt, *, bi_dir: bool, max_len: int,
     pack_se = bool(max_len < 65535)
     pack15 = bool(max_len < 32768)
     pack_io = pack_se and n_seq_cap <= 32768
-    # single-word event sort (E. coli-scale): seg and key both fit one
-    # uint32
-    pack_ev = bool(max_len < 32767 and n_seq_cap + 2 <= 0xFFFF)
+    # single-word event sort (small scale): seg and key both fit one
+    # uint32.  Gated on the REAL read count (not the pow2 cap) with a
+    # 0xFFFF pad, so e.g. 37k reads in the 65536 cap bucket still pack;
+    # crossing the 65533-read line inside a cap bucket costs one extra
+    # cached compile of the other variant.
+    pack_ev = bool(max_len < 32767 and n_seq + 2 <= 0xFFFF)
     if _os.environ.get("MINIASM_TPU_PACKIO") == "0":
         pack_io = False  # test hook: forces the 4-row big-config format
     cap = colmat_dev.shape[1]

@@ -108,6 +108,40 @@ h4.free()
 st = ctypes.c_void_p(res)
 lib.ma_mt_free(st)
 
+# --- FMT3 flat piece stream (ma_mt_next3) + carry seed ---
+res = lib.ma_mt_begin(paf.encode(), 2000, 100, b"", 0, 1, 0.05, 4096, 2, 0)
+assert res
+lib.ma_mt_seed_carry(ctypes.c_void_p(res), 777)
+sz = 4096
+reads3 = 0
+while True:
+    buf = np.empty(3 * sz + sz // 4, dtype=np.int32)
+    got = lib.ma_mt_next3(
+        res, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), sz)
+    assert not lib.ma_mt_pack_failed(res)
+    assert not lib.ma_mt_rle_failed(res)  # sim streams are query-grouped
+    reads3 += got
+    if got < sz:
+        break
+assert reads3 == n4
+lib.ma_mt_free(ctypes.c_void_p(res))
+
+# --- -p paf replay printer (retain_full + sorted-order cut/filter) ---
+c5, d5, h5 = load_hits_mt(paf, 2000, 100, upload=False, retain_full=True,
+                          carry_seed=0)
+ns5 = d5.n_seq
+s0 = np.zeros(ns5, np.int32)
+e0 = np.asarray(d5.lens, np.int32)
+dz = np.zeros(ns5, np.uint8)
+alive = np.ones(ns5, np.uint8)
+out_fn = os.path.join(tmp, "replay.paf")
+with open(out_fn, "wb") as outf:
+    printed = h5.print_paf((s0, e0, dz), (s0, e0, dz), alive,
+                           Opt().min_span, int(Opt().max_hang * 1.5),
+                           int(Opt().min_ovlp * 0.5), outf.fileno())
+assert printed > 0 and os.path.getsize(out_fn) > 0
+h5.free()
+
 # --- exact radix argsort ---
 from miniasm_tpu.utils.exact_sort import radix_argsort
 
