@@ -173,6 +173,13 @@ def write_paf(sim, path) -> int:
     column int->str conversion in numpy chunks (worm-scale PAFs are ~20M
     lines; the naive loop is >10 min, this is seconds)."""
     a = paf_arrays(sim)
+    # minimap2 emits all of a query's records consecutively (queries in
+    # read-file order); group the sweep's target-ordered emission the
+    # same way so files have realistic query-run structure (the FMT3
+    # loader's qid-RLE sideband and any grouped-stream consumer see what
+    # real minimap output looks like)
+    sel = np.argsort(a["qi"], kind="stable")
+    a = {k: v[sel] for k, v in a.items()}
     names = np.asarray(sim["names"])
     cnt = len(a["qi"])
     CH = 1 << 20

@@ -247,7 +247,7 @@ def _concat_jit(*pieces):
 
 
 def _decode3_jit(piece_dev):
-    """Device-side decode of a flat FMT3 piece (13 B/record H2D layout:
+    """Device-side decode of a flat FMT3 piece (13.5 B/record H2D layout:
     3 coordinate rows + flag nibbles + qid run-length sideband) into the
     standard 4-row packed layout [qid|flags<<28, tid, qs<<16|qe,
     ts<<16|te].  Dispatched per piece as it uploads, so the decode cost
@@ -259,13 +259,13 @@ def _decode3_jit(piece_dev):
     words = piece_dev.shape[0]
     fn = fns.get(words)
     if fn is None:
-        fn = jax.jit(lambda flat: _decode3_body(flat, words * 4 // 13))
+        fn = jax.jit(lambda flat: _decode3_body(flat, words * 8 // 27))
         fns[words] = fn
     return fn(piece_dev)
 
 
 def _decode3_body(flat, n):
-    """Traced FMT3 decode of one flat piece (words == 3*n + n//4)."""
+    """Traced FMT3 decode of one flat piece (words == 3*n + 3*(n//8))."""
     import jax.numpy as jnp
 
     rows = flat[:3 * n].reshape(3, n)
@@ -275,8 +275,8 @@ def _decode3_body(flat, n):
     nib = ((fw[:, None]
             >> (4 * jnp.arange(8, dtype=jnp.uint32)[None, :]))
            & jnp.uint32(0xF)).reshape(n)
-    bp = flat[3 * n + n // 8: 3 * n + n // 8 + n // 16]
-    bq = flat[3 * n + n // 8 + n // 16: 3 * n + n // 4]
+    bp = flat[3 * n + n // 8: 3 * n + 2 * (n // 8)]
+    bq = flat[3 * n + 2 * (n // 8): 3 * n + 3 * (n // 8)]
     # qid = prefix-sum of boundary DELTAS scattered at run starts
     # (no searchsorted, no gather; padding bp rows are -1)
     prev = jnp.concatenate([jnp.zeros(1, jnp.int32), bq[:-1]])
@@ -321,8 +321,8 @@ def _fmt3_to_cols(buf, sz, n, rows):
     idx = np.arange(n)
     nib = ((nw[idx >> 3] >> (4 * (idx & 7)).astype(np.uint32))
            & 0xF).astype(np.uint32)
-    bp = buf[3 * sz + sz // 8: 3 * sz + sz // 8 + sz // 16]
-    bq = buf[3 * sz + sz // 8 + sz // 16: 3 * sz + sz // 4]
+    bp = buf[3 * sz + sz // 8: 3 * sz + 2 * (sz // 8)]
+    bq = buf[3 * sz + 2 * (sz // 8): 3 * sz + 3 * (sz // 8)]
     k = bp[bp >= 0]
     v = bq[:len(k)]
     j = np.searchsorted(k, idx, side="right") - 1
@@ -594,7 +594,7 @@ def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
     up_thread.start()
     cap = 0
     n_pieces = 0
-    # H2D format ladder: FMT3 (13 B/record flat pieces, decoded to 4-row
+    # H2D format ladder: FMT3 (13.5 B/record flat pieces, decoded to 4-row
     # on device) while the stream stays query-grouped with 16-bit
     # coordinates; a sideband overflow downgrades to the 4-row packed
     # format, a coordinate/id overflow to the 7-row format.  Already-
@@ -609,7 +609,7 @@ def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
             big = cap + 4 * chunk <= est
             sz = 4 * chunk if big else chunk
             if fmt == 3:
-                buf = np.empty(3 * sz + sz // 4, dtype=np.int32)
+                buf = np.empty(3 * sz + 3 * (sz // 8), dtype=np.int32)
                 n = lib.ma_mt_next3(
                     res, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                     sz)
@@ -671,7 +671,7 @@ def load_hits_mt(fn, min_span, min_match, excl=None, bi_dir=True,
             if fmt == 3:
                 # flat zero piece: nibbles 0 -> inert (bpos=0/bqid=0 rows
                 # scatter zero deltas)
-                upq.put(np.zeros(3 * sz + sz // 4, dtype=np.int32))
+                upq.put(np.zeros(3 * sz + 3 * (sz // 8), dtype=np.int32))
             else:
                 upq.put(np.zeros((pad_rows, sz), dtype=np.int32))
             n_pieces += 1

@@ -587,7 +587,9 @@ int64_t mt_next_impl(MtState* st, int32_t* out, int64_t want) {
     for (int r2 = 0; r2 < (FMT == 3 ? 3 : FMT); ++r2) R[r2] = out + r2 * C;
     // FMT=3 sideband layout after the 3 coordinate rows (C must be a
     // multiple of 16): flag nibbles (C/8 words), qid-run boundary
-    // positions (C/16 words, -1 padded), boundary qids (C/16 words)
+    // positions (C/8 words, -1 padded), boundary qids (C/8 words) —
+    // the C/8 boundary capacity tolerates query runs >= 8 records
+    // (low-coverage minimap streams run ~16/query)
     uint32_t* nibw = nullptr;
     int32_t* bpos = nullptr;
     int32_t* bqid = nullptr;
@@ -596,8 +598,8 @@ int64_t mt_next_impl(MtState* st, int32_t* out, int64_t want) {
     if (FMT == 3) {
         nibw = reinterpret_cast<uint32_t*>(out + 3 * C);
         bpos = out + 3 * C + C / 8;
-        bqid = bpos + C / 16;
-        bcap = C / 16;
+        bqid = bpos + C / 8;
+        bcap = C / 8;
         std::memset(nibw, 0, (C / 8) * 4);
     }
     while (filled < C) {
@@ -780,11 +782,12 @@ int64_t ma_mt_next4(MtState* st, int32_t* out, int64_t want) {
     return mt_next_impl<4>(st, out, want);
 }
 
-// Flat 13 B/record variant (want must be a multiple of 16): 3 coordinate
-// rows [tid, qs<<16|qe, ts<<16|te] + flag nibbles + a qid run-length
-// sideband (PAF streams are query-grouped, so qid is piecewise constant;
-// minimap2 emits ~40-90 records per query).  Total words per piece:
-// 3*want + want/4 — 19% fewer H2D bytes than the 4-row format.  On a
+// Flat 13.5 B/record variant (want must be a multiple of 16): 3
+// coordinate rows [tid, qs<<16|qe, ts<<16|te] + flag nibbles + a qid
+// run-length sideband (PAF streams are query-grouped, so qid is
+// piecewise constant; minimap2 emits ~16-90 records per query).  Total
+// words per piece: 3*want + 3*want/8 — 16% fewer H2D bytes than the
+// 4-row format.  On a
 // coordinate/id overflow ma_mt_pack_failed() is set (switch to 7-row);
 // on a boundary-count overflow ma_mt_rle_failed() is set (switch to
 // 4-row); either way this call's filled prefix is valid.

@@ -115,7 +115,7 @@ lib.ma_mt_seed_carry(ctypes.c_void_p(res), 777)
 sz = 4096
 reads3 = 0
 while True:
-    buf = np.empty(3 * sz + sz // 4, dtype=np.int32)
+    buf = np.empty(3 * sz + 3 * (sz // 8), dtype=np.int32)
     got = lib.ma_mt_next3(
         res, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), sz)
     assert not lib.ma_mt_pack_failed(res)
