@@ -303,7 +303,7 @@ def _decode3_concat_jit(piece_devs):
 
         def _f(*flats):
             return jnp.concatenate(
-                [_decode3_body(f, f.shape[0] * 4 // 13) for f in flats],
+                [_decode3_body(f, f.shape[0] * 8 // 27) for f in flats],
                 axis=1)
 
         fn = jax.jit(_f)

@@ -322,3 +322,37 @@ def test_mt_loader_fmt3_rle_overflow_downgrade(tmp_path):
     assert np.array_equal(h1.arc_ranks(idx1), h2.arc_ranks(idx))
     h1.free()
     h2.free()
+
+
+@pytest.mark.skipif(not available(), reason="native lib unavailable")
+def test_mt_loader_fmt3_multi_piece(tmp_path):
+    """A grouped stream spanning MULTIPLE FMT3 pieces exercises the
+    fused decode+concat dispatch (one jit over the piece tuple), which
+    the single-piece fixtures never reach."""
+    from miniasm_tpu.io.native.pafload import load_hits_mt
+
+    p = tmp_path / "multi.paf"
+    n_q = 7000
+    per_q = 20  # 140k records -> 2 pieces at the small-file 2^17 quantum
+    with open(p, "w") as f:
+        for q in range(n_q):
+            for t in range(per_q):
+                f.write("q%05d\t9000\t%d\t%d\t+\tt%04d\t9000\t100\t8100\t"
+                        "6000\t8000\n"
+                        % (q, 10 + t, 8000 + t, (q + t + 1) % 997))
+
+    import os
+
+    os.environ["MINIASM_TPU_FMT3"] = "0"
+    try:
+        c4, d4, h4 = load_hits_mt(str(p), 2000, 100)
+    finally:
+        os.environ.pop("MINIASM_TPU_FMT3")
+    c3, d3, h3 = load_hits_mt(str(p), 2000, 100)
+    n = h4.n_orig
+    assert n == n_q * per_q and h3.n_orig == n
+    a4, a3 = np.asarray(c4), np.asarray(c3)
+    assert np.array_equal(a4[:, :n], a3[:, :n])
+    assert np.all((a3[0, n:].astype(np.uint32) >> 28) == 0)
+    h4.free()
+    h3.free()
