@@ -39,6 +39,7 @@
 #endif
 
 #include <atomic>
+#include <cerrno>
 #include <charconv>
 #include <condition_variable>
 #include <cstdint>
@@ -966,12 +967,19 @@ struct PafOut {
     int fd;
     std::vector<char> buf;
     size_t w = 0;
+    bool err = false;
     explicit PafOut(int f) : fd(f), buf(1 << 22) {}
     void flush() {
         size_t off = 0;
         while (off < w) {
             ssize_t r = ::write(fd, buf.data() + off, w - off);
-            if (r <= 0) break;
+            if (r < 0 && errno == EINTR) continue;
+            if (r <= 0) {
+                // surface the failure (ENOSPC/EPIPE/...): a silently
+                // truncated -p paf must not report success
+                err = true;
+                break;
+            }
             off += static_cast<size_t>(r);
         }
         w = 0;
@@ -1091,7 +1099,7 @@ int64_t ma_mt_print_paf(MtState* st, const int32_t* s1, const int32_t* e1,
         ++printed;
     }
     out.flush();
-    return printed;
+    return out.err ? -1 : printed;  // -1: a write failed (truncated output)
 }
 
 void ma_mt_join(MtState* st) {

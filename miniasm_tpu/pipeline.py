@@ -59,7 +59,8 @@ def run(paf_fn: str, opt: Opt, *, outfmt: str = "ug", fn_reads: str | None = Non
                and (outfmt in ("ug", "sg", "bed")
                     or (outfmt == "paf"
                         and _os.environ.get("MINIASM_TPU_LOADER") != "v2")))
-    if snapshot_dir and fast_ug and outfmt in ("ug", "sg") and not no_cont:
+    if (snapshot_dir and fast_ug and outfmt in ("ug", "sg", "bed")
+            and not no_cont):
         # stage-boundary restore (SURVEY §5): skip Steps 1-3 entirely when
         # a snapshot for this (PAF, options) pair exists
         from .io.snapshot import load_graph_state
@@ -242,14 +243,27 @@ def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir,
         printed = h3.print_paf(
             md["sub1"], md["sub2"], alive, opt.min_span,
             int(opt.max_hang * 1.5), int(opt.min_ovlp * 0.5), fd)
+        if printed < 0:
+            h3.free()
+            raise OSError("-p paf output write failed (disk full / broken "
+                          "pipe?); output is truncated")
         if printed != m_cont:
             sys.stderr.write("[W::main] -p paf replay printed %d hits, "
                              "kernel counted %d\n" % (printed, m_cont))
         h3.free()
         if tmpf is not None:
             tmpf.seek(0)
-            out.write(tmpf.read().decode("latin-1"))
+            data = tmpf.read()
             tmpf.close()
+            # prefer the underlying byte buffer: re-encoding the latin-1
+            # decode through a text stream would mangle non-ASCII name
+            # bytes and break byte-parity
+            buf = getattr(out, "buffer", None)
+            if buf is not None:
+                out.flush()
+                buf.write(data)
+            else:
+                out.write(data.decode("latin-1"))
         tick("emit_done")
         _tick_t0.pop("t0", None)
         return None
@@ -291,6 +305,9 @@ def _run_fast_v2(paf_fn, opt, outfmt, fn_reads, stage, out, excl, bi_dir,
         # arcs arrived from the device already in by-hit-key stable
         # order, which is exact here (see the comment above)
         h3.free()
+    # the lazy idx closure pins the device arcmat (tens of MB of HBM at
+    # 200Mb); the order step is resolved, so release it
+    md.pop("fetch_idx", None)
     timers.add_extra("rank.join_s", time.time() - t_rank)
     tick("order")
 

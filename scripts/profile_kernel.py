@@ -97,8 +97,9 @@ def main():
         from miniasm_tpu.graph import devclean
         from miniasm_tpu.graph.asg import graph_from_arcs
 
-        order = np.argsort(h3.key_fetch(arcs["idx"]), kind="stable")
-        arcs = {k: arcs[k][order] for k in ("u", "l", "v", "ol")}
+        # arcs arrive pre-ordered from the device (select_build2 no
+        # longer fetches idx on the big-config path)
+        arcs = {k: arcs[k] for k in ("u", "l", "v", "ol")}
         g, *_ = graph_from_arcs(d, md["sub_s"], md["sub_e"], md["sub_del"],
                                 md["cont"], md["used"], md["pal"], arcs,
                                 m_hits=counts[5])
