@@ -1,6 +1,7 @@
 """Native C++ PAF loader must agree exactly with the pure-Python reader."""
 
 import gzip
+import os
 import shutil
 
 import numpy as np
@@ -356,3 +357,26 @@ def test_mt_loader_fmt3_multi_piece(tmp_path):
     assert np.all((a3[0, n:].astype(np.uint32) >> 28) == 0)
     h4.free()
     h3.free()
+
+
+@pytest.mark.skipif(not available() or not os.path.exists("/dev/full"),
+                    reason="native lib or /dev/full unavailable")
+def test_print_paf_write_failure_reported(sim_small):
+    """A failed write (ENOSPC emulated via /dev/full) must surface as an
+    error, not a silently truncated -p paf reported as success."""
+    from miniasm_tpu.config import Opt
+    from miniasm_tpu.io.native.pafload import load_hits_mt
+
+    c, d, h = load_hits_mt(sim_small["paf"], 2000, 100, upload=False,
+                           retain_full=True)
+    ns = d.n_seq
+    s0 = np.zeros(ns, np.int32)
+    e0 = np.asarray(d.lens, np.int32)
+    dz = np.zeros(ns, np.uint8)
+    alive = np.ones(ns, np.uint8)
+    with open("/dev/full", "wb") as out:
+        printed = h.print_paf((s0, e0, dz), (s0, e0, dz), alive,
+                              Opt().min_span, int(Opt().max_hang * 1.5),
+                              int(Opt().min_ovlp * 0.5), out.fileno())
+    h.free()
+    assert printed < 0, "write failure must be reported"
